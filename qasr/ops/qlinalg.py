@@ -1,0 +1,110 @@
+"""Quaternion dense and convolution ops — XLA path.
+
+Re-designs the reference's hot ops (quaternion conv/dense via one real
+conv2d/dot on a 4x-expanded block kernel; SURVEY.md §2a C1/C2, §3.2) as
+TPU-first JAX: a single `lax.dot_general` / `lax.conv_general_dilated` on the
+transiently-expanded block kernel, with bf16 compute + f32 accumulation
+(`preferred_element_type`). These are the correctness-parity path; the fused
+Pallas kernels in qasr/ops/pallas/ avoid materializing the 4x kernel.
+
+Layouts:
+  activations: NHWC-style, packed trailing dim ``[..., 4*Cin]`` component-major.
+  weights:     stacked ``[4, kh, kw, Cin, Cout]`` (conv) / ``[4, Cin, Cout]`` (dense).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qasr.ops.quaternion import hamilton_expand
+
+
+def qdense(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion dense: ``[..., 4*Cin] @ [4, Cin, Cout] -> [..., 4*Cout]``.
+
+    One real GEMM on the block-expanded matrix; XLA fuses the expansion and the
+    MXU sees a single ``[M, 4Cin] x [4Cin, 4Cout]`` matmul.
+    """
+    if w.ndim != 3 or w.shape[0] != 4:
+        raise ValueError(f"dense weights must be [4, Cin, Cout], got {w.shape}")
+    w_big = hamilton_expand(w).astype(x.dtype)  # [4Cin, 4Cout]
+    out = lax.dot_general(
+        x,
+        w_big,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    return out.astype(x.dtype)
+
+
+def qconv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides: Sequence[int] | None = None,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion N-D convolution (N = 1 or 2 spatial dims), NHWC layout.
+
+    x: ``[B, *spatial, 4*Cin]``; w: ``[4, *kernel, Cin, Cout]``.
+    Returns ``[B, *spatial_out, 4*Cout]``.
+
+    The reference calls the backend real conv on the concatenated kernel once
+    per step (SURVEY.md §3.2); here the expansion happens inside jit so XLA
+    fuses it with the convolution's weight read — no separate HBM round-trip
+    for the 4x kernel at steady state, and the MXU runs one large conv.
+    """
+    nspatial = w.ndim - 3
+    if w.shape[0] != 4 or nspatial not in (1, 2):
+        raise ValueError(f"conv weights must be [4, *k, Cin, Cout], got {w.shape}")
+    if x.ndim != nspatial + 2:
+        raise ValueError(f"x rank {x.ndim} incompatible with {nspatial}-D conv")
+    if strides is None:
+        strides = (1,) * nspatial
+
+    w_big = hamilton_expand(w).astype(x.dtype)  # [*k, 4Cin, 4Cout]
+    if nspatial == 1:
+        dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NWC", "WIO", "NWC"))
+    else:
+        dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x,
+        w_big,
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=dn,
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    return out.astype(x.dtype)
+
+
+def qconv_expanded_oracle(x, w, *, strides=None, padding="SAME"):
+    """Test oracle: explicitly materialized 4x-expanded real conv (the
+    reference's exact computation, SURVEY.md §3.2). f32 only; tests use this
+    to certify `qconv` and the Pallas kernels (SURVEY.md §4 tests 1–2)."""
+    w_big = jax.device_put(hamilton_expand(w))
+    nspatial = w.ndim - 3
+    if strides is None:
+        strides = (1,) * nspatial
+    if nspatial == 1:
+        dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NWC", "WIO", "NWC"))
+    else:
+        dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, w_big, tuple(strides), padding, dimension_numbers=dn,
+        precision=lax.Precision.HIGHEST,
+    )

@@ -1,0 +1,126 @@
+"""Core quaternion algebra for Hamilton-product layers.
+
+Reference capability: the reference implements quaternion convolution/dense by
+concatenating the four real weight sub-tensors (r, i, j, k) into one 4x4
+block-structured real kernel and calling the backend's real conv2d/dot once
+(reference: quaternion conv layer `call()` assembling ``cat_kernels_4_quaternion``;
+mount was empty at build time — see SURVEY.md §0/§3.2, provenance [BASELINE][FAMILY]).
+
+This module is the TPU-native redesign of that algebra:
+
+* Packed layout: a quaternion tensor with C quaternion channels is stored as a
+  real tensor with trailing dim ``4*C`` in *component-major* order
+  ``[r_0..r_{C-1}, i_0..i_{C-1}, j_0..j_{C-1}, k_0..k_{C-1}]`` — i.e. it
+  reshapes to ``[..., 4, C]``. This matches the reference's concat layout so
+  the 4x-expanded real-conv oracle is a trivial reshape away.
+* Weights are kept as a single stacked array ``W[4, ..., Cin, Cout]`` (never
+  pre-expanded in checkpoints); the 4x4 block-structured real matrix is only
+  materialized transiently inside jit, where XLA fuses it, or not at all in
+  the Pallas kernels (qasr/ops/pallas/).
+
+Hamilton product convention (y = w ⊗ x, weight acting on the left):
+
+    y_r = Wr·xr − Wi·xi − Wj·xj − Wk·xk
+    y_i = Wr·xi + Wi·xr + Wj·xk − Wk·xj
+    y_j = Wr·xj + Wj·xr + Wk·xi − Wi·xk
+    y_k = Wr·xk + Wk·xr + Wi·xj − Wj·xi
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+R, I, J, K = 0, 1, 2, 3
+
+# Block-structure tables for the 4x4 real matrix acting on a *row vector* of
+# packed input components: y_b = sum_a sign[a][b] * x_a @ W[comp[a][b]].
+# Rows = input component a, cols = output component b.
+HAMILTON_COMP = np.array(
+    [
+        [R, I, J, K],
+        [I, R, K, J],
+        [J, K, R, I],
+        [K, J, I, R],
+    ],
+    dtype=np.int32,
+)
+HAMILTON_SIGN = np.array(
+    [
+        [1, 1, 1, 1],
+        [-1, 1, 1, -1],
+        [-1, -1, 1, 1],
+        [-1, 1, -1, 1],
+    ],
+    dtype=np.int32,
+)
+
+
+def split_components(x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Split packed ``[..., 4C]`` into four ``[..., C]`` components (r,i,j,k)."""
+    c4 = x.shape[-1]
+    if c4 % 4:
+        raise ValueError(f"packed quaternion dim must be divisible by 4, got {c4}")
+    c = c4 // 4
+    return tuple(x[..., n * c : (n + 1) * c] for n in range(4))
+
+
+def pack_components(r, i, j, k) -> jnp.ndarray:
+    """Concatenate four ``[..., C]`` components into packed ``[..., 4C]``."""
+    return jnp.concatenate([r, i, j, k], axis=-1)
+
+
+def hamilton_expand(w: jnp.ndarray, conjugate: bool = False) -> jnp.ndarray:
+    """Expand stacked quaternion weights into the 4x4 block real matrix.
+
+    Args:
+      w: ``[4, *spatial, Cin, Cout]`` stacked component weights.
+      conjugate: expand conj(w) instead (negates i,j,k blocks) — used by
+        transposed/adjoint ops.
+
+    Returns:
+      ``[*spatial, 4*Cin, 4*Cout]`` block-structured real weights, the exact
+      matrix the reference materializes every step (SURVEY.md §3.2). Here it is
+      only built transiently inside jit for the XLA fallback path.
+    """
+    if conjugate:
+        w = jnp.concatenate([w[:1], -w[1:]], axis=0)
+    rows = []
+    for a in range(4):
+        cols = []
+        for b in range(4):
+            comp = int(HAMILTON_COMP[a, b])
+            sign = int(HAMILTON_SIGN[a, b])
+            blk = w[comp] if sign > 0 else -w[comp]
+            cols.append(blk)
+        rows.append(jnp.concatenate(cols, axis=-1))  # along Cout
+    return jnp.concatenate(rows, axis=-2)  # along Cin
+
+
+def hamilton_product(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Hamilton product of packed quaternion tensors (q1 ⊗ q2)."""
+    ar, ai, aj, ak = split_components(q1)
+    br, bi, bj, bk = split_components(q2)
+    return pack_components(
+        ar * br - ai * bi - aj * bj - ak * bk,
+        ar * bi + ai * br + aj * bk - ak * bj,
+        ar * bj + aj * br + ak * bi - ai * bk,
+        ar * bk + ak * br + ai * bj - aj * bi,
+    )
+
+
+def qdense_naive(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Oracle: quaternion dense as 16 explicit component GEMMs.
+
+    x: ``[..., 4*Cin]`` packed; w: ``[4, Cin, Cout]``. Slow/reference path used
+    only in tests (SURVEY.md §4 test 1).
+    """
+    xs = split_components(x)
+    outs = []
+    for b in range(4):
+        acc = None
+        for a in range(4):
+            term = HAMILTON_SIGN[a, b] * (xs[a] @ w[HAMILTON_COMP[a, b]])
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,150 @@
+"""Algebra unit tests: Hamilton-product oracles (SURVEY.md §4 test 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr.ops import (
+    hamilton_expand,
+    hamilton_product,
+    pack_components,
+    qconv,
+    qconv_expanded_oracle,
+    qdense,
+    qdense_naive,
+    split_components,
+)
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+class TestHamiltonProduct:
+    def test_identity(self):
+        # (1,0,0,0) is the multiplicative identity
+        q = _rand(jax.random.PRNGKey(0), (5, 8))
+        c = 2
+        one = pack_components(
+            jnp.ones((5, c)), jnp.zeros((5, c)), jnp.zeros((5, c)), jnp.zeros((5, c))
+        )
+        np.testing.assert_allclose(hamilton_product(one, q), q, rtol=1e-6)
+        np.testing.assert_allclose(hamilton_product(q, one), q, rtol=1e-6)
+
+    def test_ij_equals_k(self):
+        z = jnp.zeros((1, 1))
+        o = jnp.ones((1, 1))
+        i = pack_components(z, o, z, z)
+        j = pack_components(z, z, o, z)
+        k = pack_components(z, z, z, o)
+        np.testing.assert_allclose(hamilton_product(i, j), k, atol=1e-7)
+        np.testing.assert_allclose(hamilton_product(j, i), -k, atol=1e-7)
+        np.testing.assert_allclose(hamilton_product(i, i), -pack_components(o, z, z, z), atol=1e-7)
+
+    def test_norm_multiplicative(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        a, b = _rand(k1, (7, 4)), _rand(k2, (7, 4))
+        ab = hamilton_product(a, b)
+        def qnorm(q):
+            return jnp.sqrt(sum(c**2 for c in split_components(q)))
+        np.testing.assert_allclose(qnorm(ab), qnorm(a) * qnorm(b), rtol=1e-5)
+
+
+class TestQDense:
+    @pytest.mark.parametrize("cin,cout,batch", [(3, 5, 2), (16, 8, 4), (1, 1, 1)])
+    def test_matches_naive(self, cin, cout, batch):
+        kx, kw = jax.random.split(jax.random.PRNGKey(2))
+        x = _rand(kx, (batch, 4 * cin))
+        w = _rand(kw, (4, cin, cout))
+        got = qdense(x, w)
+        want = qdense_naive(x, w)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_matches_scalar_hamilton(self):
+        # Cin=Cout=1 dense == elementwise Hamilton product with w on the left? No:
+        # our convention per quaternion.py is y_b = sum_a sign*x_a*W — verify against
+        # hamilton_product(w, x) with scalar channels.
+        kx, kw = jax.random.split(jax.random.PRNGKey(3))
+        x = _rand(kx, (6, 4))
+        w = _rand(kw, (4, 1, 1))
+        wq = jnp.tile(w[:, 0, 0][None, :], (6, 1))  # packed [6, 4]
+        want = hamilton_product(wq, x)
+        got = qdense(x, w)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_finite_difference(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(4))
+        x = _rand(kx, (2, 8))
+        w = _rand(kw, (4, 2, 3))
+        f = lambda w_: jnp.sum(jnp.sin(qdense(x, w_)))
+        g = jax.grad(f)(w)
+        eps = 1e-3
+        idx = (1, 1, 2)
+        wp = w.at[idx].add(eps)
+        wm = w.at[idx].add(-eps)
+        fd = (f(wp) - f(wm)) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=1e-2)
+
+
+class TestQConv:
+    @pytest.mark.parametrize(
+        "spatial,kernel,cin,cout",
+        [((11, 9), (3, 3), 2, 4), ((17,), (3,), 3, 5), ((8, 8), (1, 1), 4, 4)],
+    )
+    def test_matches_expanded_oracle(self, spatial, kernel, cin, cout):
+        kx, kw = jax.random.split(jax.random.PRNGKey(5))
+        x = _rand(kx, (2, *spatial, 4 * cin))
+        w = _rand(kw, (4, *kernel, cin, cout))
+        got = qconv(x, w, padding="SAME")
+        want = qconv_expanded_oracle(x, w, padding="SAME")
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_1x1_conv_equals_dense(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(6))
+        x = _rand(kx, (2, 5, 7, 12))
+        w = _rand(kw, (4, 1, 1, 3, 6))
+        got = qconv(x, w, padding="VALID")
+        want = qdense(x, w[:, 0, 0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_valid_padding_shapes_and_strides(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(7))
+        x = _rand(kx, (1, 12, 10, 8))
+        w = _rand(kw, (4, 3, 3, 2, 2))
+        out = qconv(x, w, strides=(2, 2), padding="VALID")
+        assert out.shape == (1, 5, 4, 8)
+        want = qconv_expanded_oracle(x, w, strides=(2, 2), padding="VALID")
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+    def test_bf16_compute_close_to_f32(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(8))
+        x = _rand(kx, (1, 8, 8, 8))
+        w = _rand(kw, (4, 3, 3, 2, 2))
+        out_bf = qconv(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+        out_f32 = qconv(x, w)
+        assert out_bf.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            out_bf.astype(jnp.float32), out_f32, rtol=5e-2, atol=5e-2
+        )
+
+
+class TestHamiltonExpand:
+    def test_block_structure(self):
+        w = _rand(jax.random.PRNGKey(9), (4, 2, 3))
+        big = hamilton_expand(w)
+        assert big.shape == (8, 12)
+        # in-r, out-r block is Wr; in-i, out-r block is -Wi
+        np.testing.assert_allclose(big[0:2, 0:3], w[0], atol=0)
+        np.testing.assert_allclose(big[2:4, 0:3], -w[1], atol=0)
+        # in-r out-k is Wk; in-j out-k is Wi
+        np.testing.assert_allclose(big[0:2, 9:12], w[3], atol=0)
+        np.testing.assert_allclose(big[4:6, 9:12], w[1], atol=0)
+
+    def test_conjugate_is_component_transpose(self):
+        # The Hamilton multiplication matrix of conj(q) is the component-wise
+        # transpose of that of q (exactly the transpose for scalar channels).
+        w = _rand(jax.random.PRNGKey(10), (4, 1, 1))
+        big = hamilton_expand(w)
+        bigc = hamilton_expand(w, conjugate=True)
+        np.testing.assert_allclose(bigc, big.T, rtol=1e-6)
