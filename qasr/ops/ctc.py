@@ -1,0 +1,136 @@
+"""Native CTC loss — TPU-first redesign of the reference's loss path.
+
+Capability parity: the reference wraps its backend's native CTC
+(`ctc_batch_cost`, a Theano/TF C++ forward-backward) in a Lambda layer
+(SURVEY.md §2a C8, §3.3; mount empty — no file:line). Here the dynamic
+program is implemented natively in JAX: a log-space alpha recursion over the
+blank-interleaved label lattice, `lax.scan` over time with the whole batch
+vectorized in-lattice (alpha carried as ``[B, S]``), gradients by autodiff
+through the scan. Numerics: f32 lattice regardless of logit dtype; stable
+3-way logsumexp with -inf handling.
+
+`optax.ctc_loss` is used as a parity oracle in tests only (SURVEY.md §4
+test 4); this implementation is the framework's own.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+LOG_EPS = -1e30  # effective -inf that stays finite under arithmetic
+
+
+def _logsumexp3(a, b, c):
+    """Stable logsumexp over three arrays with -inf (LOG_EPS) support.
+
+    Double-where guards keep log(0) out of both the primal and the autodiff
+    graph when every input is LOG_EPS (dead lattice states).
+    """
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    degenerate = m <= LOG_EPS / 2
+    m_safe = jnp.where(degenerate, 0.0, m)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    s = jnp.where(degenerate, 1.0, s)
+    return jnp.where(degenerate, LOG_EPS, m_safe + jnp.log(s))
+
+
+def ctc_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    *,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """CTC negative log-likelihood per utterance.
+
+    Args:
+      logits: ``[B, T, V]`` unnormalized scores (any float dtype; lattice in f32).
+      labels: ``[B, L]`` int labels (values != blank_id at positions < length).
+      logit_lengths: ``[B]`` valid frame counts.
+      label_lengths: ``[B]`` valid label counts.
+      blank_id: index of the CTC blank symbol.
+
+    Returns:
+      ``[B]`` f32 loss = -log p(labels | logits).
+    """
+    logits = logits.astype(jnp.float32)
+    b, t, v = logits.shape
+    l = labels.shape[1]
+    s = 2 * l + 1
+
+    logp = jax.nn.log_softmax(logits, axis=-1)  # [B, T, V]
+
+    # Blank-interleaved lattice symbols z: [blank, l1, blank, l2, ..., blank]
+    z = jnp.full((b, s), blank_id, dtype=labels.dtype)
+    z = z.at[:, 1::2].set(labels)
+
+    pos = jnp.arange(s)[None, :]  # [1, S]
+    s_valid = 2 * label_lengths[:, None] + 1  # [B, 1]
+    in_lattice = pos < s_valid
+
+    # Skip transition (s-2) allowed when z_s is a label and z_s != z_{s-2}.
+    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
+    can_skip = (z != blank_id) & (z != z_m2) & (pos >= 2)
+
+    # alpha_0
+    logp0 = jnp.take_along_axis(logp[:, 0], z, axis=1)  # [B, S]
+    alpha0 = jnp.where(pos <= 1, logp0, LOG_EPS)
+    alpha0 = jnp.where(in_lattice, alpha0, LOG_EPS)
+
+    def step(alpha, inputs):
+        logp_t, t_idx = inputs  # logp_t: [B, V]
+        a_m1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=LOG_EPS)[:, :s]
+        a_m2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=LOG_EPS)[:, :s]
+        a_m2 = jnp.where(can_skip, a_m2, LOG_EPS)
+        emit = jnp.take_along_axis(logp_t, z, axis=1)  # [B, S]
+        new = _logsumexp3(alpha, a_m1, a_m2) + emit
+        new = jnp.where(in_lattice, new, LOG_EPS)
+        # Past the utterance's last frame, freeze alpha so the final read
+        # is uniform across the batch.
+        active = (t_idx < logit_lengths)[:, None]  # [B, 1]
+        return jnp.where(active, new, alpha), None
+
+    xs = (jnp.moveaxis(logp[:, 1:], 1, 0), jnp.arange(1, t))
+    alpha_final, _ = lax.scan(step, alpha0, xs)
+
+    # p = alpha[S_b - 1] + alpha[S_b - 2]  (last blank or last label)
+    last = jnp.take_along_axis(alpha_final, s_valid - 1, axis=1)[:, 0]
+    second = jnp.take_along_axis(
+        alpha_final, jnp.maximum(s_valid - 2, 0), axis=1
+    )[:, 0]
+    # label_length == 0 edge case: only the all-blank path exists
+    second = jnp.where(label_lengths > 0, second, LOG_EPS)
+    loglik = _logsumexp3(last, second, jnp.full_like(last, LOG_EPS))
+    return -loglik
+
+
+def ctc_greedy_decode(
+    logits: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    *,
+    blank_id: int = 0,
+    pad_id: int = -1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-path CTC decode: framewise argmax, collapse repeats, drop blanks.
+
+    Reference capability: `K.ctc_decode(greedy=True)` (SURVEY.md §2a C9, §3.4).
+    Fully jittable, fixed shapes: returns (``[B, T]`` sequences left-packed and
+    padded with ``pad_id``, ``[B]`` decoded lengths).
+    """
+    b, t, _ = logits.shape
+    path = jnp.argmax(logits, axis=-1)  # [B, T]
+    t_idx = jnp.arange(t)[None, :]
+    valid = t_idx < logit_lengths[:, None]
+    prev = jnp.pad(path, ((0, 0), (1, 0)), constant_values=blank_id)[:, :t]
+    keep = valid & (path != blank_id) & ((path != prev) | (t_idx == 0))
+
+    out_pos = jnp.cumsum(keep, axis=1) - 1  # [B, T]
+    out_pos = jnp.where(keep, out_pos, t)  # out-of-range -> dropped
+    out = jnp.full((b, t + 1), pad_id, dtype=path.dtype)
+    batch_idx = jnp.arange(b)[:, None]
+    out = out.at[batch_idx, out_pos].set(jnp.where(keep, path, pad_id), mode="drop")
+    lengths = jnp.sum(keep, axis=1)
+    return out[:, :t], lengths
