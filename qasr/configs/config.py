@@ -1,0 +1,245 @@
+"""Typed config tree with the five BASELINE.json presets.
+
+The reference drives experiments with argparse flags + hardcoded constants
+(SURVEY.md §5 "Config / flag system"; mount empty). Here: one frozen dataclass
+tree (model/data/train/mesh/decode), named presets matching BASELINE.json's
+five configs, CLI overrides via ``--key.subkey=value``, and JSON serialization
+into every checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "qcnn"  # qcnn | real_cnn | qlstm
+    conv_features: tuple[int, ...] = (32, 32, 64, 64, 64, 64, 64, 64, 64, 64)
+    dense_features: tuple[int, ...] = (256, 256, 256)
+    vocab: int = 62
+    kernel_size: tuple[int, int] = (3, 3)
+    pool_after: int = 1
+    pool_size: int = 3
+    dropout_rate: float = 0.3
+    lstm_features: int = 0        # quaternion LSTM hidden size (qlstm arch)
+    lstm_layers: int = 0
+    bidirectional: bool = True
+    compute_dtype: str = "float32"  # float32 | bfloat16
+    use_pallas: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"    # synthetic | timit | librispeech
+    data_dir: str = ""
+    n_mels: int = 40
+    sample_rate: int = 16000
+    max_frames: int = 256          # bucket ceiling (power-of-2 buckets)
+    max_label_len: int = 64
+    batch_size: int = 8            # global batch (across all DP shards)
+    num_synthetic: int = 64        # synthetic dataset size
+    bucket_sizes: tuple[int, ...] = (64, 128, 256)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    seed: int = 0
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip: float = 5.0
+    num_steps: int = 1000
+    warmup_steps: int = 100
+    eval_every: int = 200
+    checkpoint_every: int = 200
+    checkpoint_dir: str = "/tmp/qasr_ckpt"
+    keep_checkpoints: int = 3
+    log_every: int = 20
+    remat_convs: bool = False      # jax.checkpoint over conv stack
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: data axis for DP over ICI, model axis for TP sharding of
+    quaternion output channels (SURVEY.md §2c P1/P2)."""
+
+    data_axis: int = -1            # -1: all devices
+    model_axis: int = 1
+    axis_names: tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    blank_id: int = 0
+    beam_width: int = 16
+    beam_prune_logp: float = -20.0
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        return _from_dict(Config, json.loads(s))
+
+    def override(self, **flat: Any) -> "Config":
+        """Apply dotted-path overrides, e.g. ``override(**{"train.num_steps": 5})``."""
+        cfg = self
+        for path, value in flat.items():
+            cfg = _set_path(cfg, path.split("."), value)
+        return cfg
+
+
+def _field_types(cls):
+    import typing
+
+    return typing.get_type_hints(cls)
+
+
+def _from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    hints = _field_types(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = hints.get(f.name)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _from_dict(ftype, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def _coerce(ftype, value):
+    if not isinstance(value, str):
+        return value
+    if ftype is bool:
+        return value.lower() in ("1", "true", "yes")
+    if ftype in (int, float):
+        return ftype(value)
+    if ftype is not str and value and "," in value:
+        return tuple(int(x) if x.isdigit() else x for x in value.split(","))
+    return value
+
+
+def _set_path(obj, path, value):
+    if len(path) == 1:
+        ftype = _field_types(type(obj)).get(path[0])
+        return dataclasses.replace(obj, **{path[0]: _coerce(ftype, value)})
+    child = getattr(obj, path[0])
+    return dataclasses.replace(obj, **{path[0]: _set_path(child, path[1:], value)})
+
+
+# ---------------------------------------------------------------------------
+# The five named presets = BASELINE.json "configs"
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, Config] = {
+    # 1. Small QCNN (2 quaternion conv + dense + CTC), CPU-runnable smoke
+    "tiny_synthetic": Config(
+        name="tiny_synthetic",
+        model=ModelConfig(
+            conv_features=(8, 8),
+            dense_features=(32,),
+            vocab=12,
+            dropout_rate=0.0,
+        ),
+        data=DataConfig(
+            dataset="synthetic",
+            n_mels=8,
+            max_frames=64,
+            max_label_len=8,
+            batch_size=8,
+            num_synthetic=64,
+            bucket_sizes=(64,),
+        ),
+        train=TrainConfig(num_steps=300, warmup_steps=20, learning_rate=3e-3),
+    ),
+    # 2. Full reference QCNN stack on TIMIT, prefix beam decode
+    "timit_qcnn": Config(
+        name="timit_qcnn",
+        model=ModelConfig(
+            conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
+            dense_features=(256, 256, 256),
+            vocab=62,
+        ),
+        data=DataConfig(
+            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
+            bucket_sizes=(128, 256, 384, 512),
+        ),
+        train=TrainConfig(num_steps=40000, warmup_steps=500),
+    ),
+    # 3. Quaternion-vs-real ablation (kernel roofline compare)
+    "timit_real_cnn": Config(
+        name="timit_real_cnn",
+        model=ModelConfig(
+            arch="real_cnn",
+            conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
+            dense_features=(256, 256, 256),
+            vocab=62,
+        ),
+        data=DataConfig(
+            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
+            bucket_sizes=(128, 256, 384, 512),
+        ),
+        train=TrainConfig(num_steps=40000, warmup_steps=500),
+    ),
+    # 4. QCNN-LSTM hybrid on LibriSpeech-100h
+    "librispeech_qlstm": Config(
+        name="librispeech_qlstm",
+        model=ModelConfig(
+            arch="qlstm",
+            conv_features=(64, 64, 128, 128),
+            dense_features=(256,),
+            lstm_features=256,
+            lstm_layers=3,
+            vocab=32,               # character vocab
+            compute_dtype="bfloat16",
+        ),
+        data=DataConfig(
+            dataset="librispeech", max_frames=2048, max_label_len=512,
+            batch_size=32, bucket_sizes=(512, 1024, 2048),
+        ),
+        train=TrainConfig(num_steps=200000, warmup_steps=2000),
+    ),
+    # 5. Large sharded quaternion encoder on LibriSpeech-960h (DP x TP)
+    "librispeech_large": Config(
+        name="librispeech_large",
+        model=ModelConfig(
+            conv_features=(64, 64, 128, 128, 256, 256, 256, 256, 256, 256),
+            dense_features=(1024, 1024, 1024),
+            vocab=32,
+            compute_dtype="bfloat16",
+            use_pallas=True,
+        ),
+        data=DataConfig(
+            dataset="librispeech", max_frames=2048, max_label_len=512,
+            batch_size=64, bucket_sizes=(512, 1024, 2048),
+        ),
+        train=TrainConfig(num_steps=500000, warmup_steps=5000),
+        mesh=MeshConfig(data_axis=-1, model_axis=4),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,108 @@
+"""Bucketed padding + batching for CTC training.
+
+Reference behavior: padded batches fed through Keras `fit_generator` with
+explicit input/label lengths for CTC (SURVEY.md §1 L1, §5 "Long-context").
+TPU-first discipline: utterances are bucketed to a small set of power-of-2
+frame ceilings so jit recompiles are bounded (SURVEY.md §7 hard part (e)),
+and every batch has static shapes ``[B, T_bucket, F, 4]`` / ``[B, L_max]``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+# A batch is a plain dict (a registered jax pytree) with keys:
+# features [B,T,F,4], feature_lengths [B], labels [B,L], label_lengths [B].
+Batch = dict
+
+
+def pick_bucket(num_frames: int, bucket_sizes: tuple[int, ...]) -> int:
+    for b in bucket_sizes:
+        if num_frames <= b:
+            return b
+    return bucket_sizes[-1]
+
+
+def make_batch(
+    examples: list,
+    bucket: int,
+    max_label_len: int,
+) -> Batch:
+    """Pad a list of (features [T,F,4], labels [L]) examples to static shapes."""
+    b = len(examples)
+    f = examples[0][0].shape[1]
+    ncomp = examples[0][0].shape[2]
+    feats = np.zeros((b, bucket, f, ncomp), np.float32)
+    labels = np.zeros((b, max_label_len), np.int32)
+    flens = np.zeros((b,), np.int32)
+    llens = np.zeros((b,), np.int32)
+    for n, (x, y) in enumerate(examples):
+        t = min(x.shape[0], bucket)
+        l = min(len(y), max_label_len)
+        feats[n, :t] = x[:t]
+        labels[n, :l] = y[:l]
+        flens[n] = t
+        llens[n] = l
+    return Batch(
+        features=feats,
+        feature_lengths=flens,
+        labels=labels,
+        label_lengths=llens,
+    )
+
+
+def bucketed_batches(
+    examples: list,
+    *,
+    batch_size: int,
+    bucket_sizes: tuple[int, ...],
+    max_label_len: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+) -> Iterator[Batch]:
+    """Group (features, labels) pairs into same-bucket batches.
+
+    Yields batches whose frame dim is the bucket ceiling — at most
+    ``len(bucket_sizes)`` distinct shapes per epoch.
+    """
+    rng = np.random.RandomState(seed)
+    order = np.arange(len(examples))
+    if shuffle:
+        rng.shuffle(order)
+    pools: dict[int, list] = {b: [] for b in bucket_sizes}
+    for idx in order:
+        x, y = examples[idx]
+        bucket = pick_bucket(x.shape[0], bucket_sizes)
+        pools[bucket].append((x, y))
+        if len(pools[bucket]) == batch_size:
+            yield make_batch(pools[bucket], bucket, max_label_len)
+            pools[bucket] = []
+    if not drop_remainder:
+        for bucket, pool in pools.items():
+            if pool:
+                # pad the batch dim with repeats to keep static batch size
+                while len(pool) < batch_size:
+                    pool.append(pool[0])
+                yield make_batch(pool, bucket, max_label_len)
+
+
+def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):
+    """Adapter from SyntheticDataset/TimitDataset to bucketed batches."""
+    if hasattr(dataset, "load"):  # TimitDataset: lazy audio -> features upstream
+        raise NotImplementedError(
+            "TIMIT batching goes through qasr.data.pipeline (features on device)"
+        )
+    pairs = [(ex.features, ex.labels) for ex in (dataset[i] for i in range(len(dataset)))]
+    return bucketed_batches(
+        pairs,
+        batch_size=cfg.batch_size,
+        bucket_sizes=cfg.bucket_sizes,
+        max_label_len=cfg.max_label_len,
+        shuffle=train,
+        seed=seed,
+        drop_remainder=train,
+    )

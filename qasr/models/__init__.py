@@ -1,0 +1,11 @@
+from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
+from qasr.models.qcnn import QCNNEncoder, RealCNNEncoder
+
+__all__ = [
+    "PReLU",
+    "QConv",
+    "QDense",
+    "flatten_quaternion",
+    "QCNNEncoder",
+    "RealCNNEncoder",
+]

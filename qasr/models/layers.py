@@ -1,0 +1,142 @@
+"""Flax modules wrapping the quaternion ops.
+
+Capability parity with the reference's Keras layer library (SURVEY.md §2a
+C1/C2/C4/C5: `QuaternionConv{1D,2D}`, `QuaternionDense`, split PReLU
+activation, component-split utilities; mount empty — no file:line). Weights
+live as a single stacked ``[4, ..., Cin, Cout]`` param so checkpoints never
+store the 4x-expanded kernel and tensor-parallel sharding can target the
+quaternion output-channel dim while keeping the component structure intact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from qasr.ops.initializers import quaternion_initializer
+from qasr.ops.qlinalg import qconv, qdense
+from qasr.ops import pallas as qpallas
+from qasr.ops.quaternion import split_components
+
+
+def flatten_quaternion(x: jnp.ndarray) -> jnp.ndarray:
+    """Fold trailing spatial dims into the quaternion channel dim, preserving
+    component-major packing: ``[..., F, 4*C] -> [..., 4*(F*C)]``."""
+    *lead, f, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(*lead, f, 4, c)
+    x = jnp.moveaxis(x, -2, -3)  # [..., 4, F, C]
+    return x.reshape(*lead, 4 * f * c)
+
+
+class QConv(nn.Module):
+    """Quaternion convolution (1 or 2 spatial dims), NHWC, packed channels.
+
+    Reference capability: `QuaternionConv1D/2D` (SURVEY.md C1).
+    """
+
+    features: int  # quaternion output channels (real channels = 4*features)
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] | None = None
+    padding: str = "SAME"
+    use_bias: bool = True
+    criterion: str = "glorot"
+    dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin4 = x.shape[-1]
+        if cin4 % 4:
+            raise ValueError(f"input channels {cin4} not divisible by 4")
+        cin = cin4 // 4
+        kernel = self.param(
+            "kernel",
+            quaternion_initializer(self.criterion),
+            (4, *self.kernel_size, cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if self.use_pallas and len(self.kernel_size) == 2:
+            y = qpallas.qconv2d_pallas(
+                x, kernel.astype(dtype), strides=self.strides, padding=self.padding
+            )
+        else:
+            y = qconv(
+                x,
+                kernel.astype(dtype),
+                strides=self.strides,
+                padding=self.padding,
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class QDense(nn.Module):
+    """Quaternion dense layer (SURVEY.md C2)."""
+
+    features: int  # quaternion output units
+    use_bias: bool = True
+    criterion: str = "glorot"
+    dtype: jnp.dtype | None = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin4 = x.shape[-1]
+        if cin4 % 4:
+            raise ValueError(f"input channels {cin4} not divisible by 4")
+        kernel = self.param(
+            "kernel",
+            quaternion_initializer(self.criterion),
+            (4, cin4 // 4, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if self.use_pallas:
+            y = qpallas.qdense_pallas(x, kernel.astype(dtype))
+        else:
+            y = qdense(x, kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class PReLU(nn.Module):
+    """Split (component-wise) PReLU: the paper's activation (SURVEY.md C4).
+
+    One learnable slope per real channel, as Keras stock PReLU does.
+    """
+
+    negative_slope_init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            nn.initializers.constant(self.negative_slope_init),
+            (x.shape[-1],),
+        )
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def get_r(x):
+    """Component-split utility (reference `GetReal`, SURVEY.md C5)."""
+    return split_components(x)[0]
+
+
+def get_i(x):
+    return split_components(x)[1]
+
+
+def get_j(x):
+    return split_components(x)[2]
+
+
+def get_k(x):
+    return split_components(x)[3]

@@ -1,0 +1,123 @@
+"""QCNN / real-CNN acoustic model topologies.
+
+Capability parity: the reference builds ~10-layer 3x3 quaternion conv stacks
+with early frequency max-pooling, PReLU, dropout, then 3 (quaternion) dense
+layers and a softmax over 62 CTC symbols, following Zhang et al. 2016
+(SURVEY.md §2a C7, provenance [PAPER §4]; mount empty — no file:line). The
+real-CNN baseline at equal feature-map count is the paper's ablation and the
+kernel roofline comparison target (BASELINE.json config 3).
+
+Input: packed quaternion features ``[B, T, F_mel, 4]`` (one quaternion channel
+whose components are fbank/Δ/ΔΔ/ΔΔΔ). Time stride is always 1 so CTC frame
+lengths pass through unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
+
+
+class QCNNEncoder(nn.Module):
+    """Quaternion CNN encoder -> framewise CTC logits ``[B, T, vocab]``."""
+
+    conv_features: Sequence[int] = (32, 32, 64, 64, 64, 64, 64, 64, 64, 64)
+    dense_features: Sequence[int] = (256, 256, 256)
+    vocab: int = 62
+    kernel_size: tuple[int, int] = (3, 3)
+    pool_after: int = 1          # freq max-pool after this many conv layers
+    pool_size: int = 3
+    dropout_rate: float = 0.3
+    conv_dropout: bool = False
+    dtype: jnp.dtype | None = None
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if x.ndim != 4:
+            raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
+        for i, feats in enumerate(self.conv_features):
+            x = QConv(
+                features=feats,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"qconv_{i}",
+            )(x)
+            x = PReLU(name=f"conv_prelu_{i}")(x)
+            if i + 1 == self.pool_after:
+                # pool along frequency only — time resolution feeds CTC
+                x = nn.max_pool(
+                    x,
+                    window_shape=(1, self.pool_size),
+                    strides=(1, self.pool_size),
+                )
+            if self.conv_dropout:
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
+        # fold (F, 4C) -> packed 4*(F*C) keeping component-major layout
+        x = flatten_quaternion(x)
+        for i, feats in enumerate(self.dense_features):
+            x = QDense(
+                features=feats,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"qdense_{i}",
+            )(x)
+            x = PReLU(name=f"dense_prelu_{i}")(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
+        logits = nn.Dense(
+            self.vocab,
+            dtype=self.dtype,
+            name="output",
+            kernel_init=nn.initializers.glorot_uniform(),
+        )(x)
+        return logits.astype(jnp.float32)
+
+
+class RealCNNEncoder(nn.Module):
+    """Real-valued CNN baseline at equal feature-map count (4x params).
+
+    The paper's ablation: identical topology with ordinary real convs whose
+    channel count matches the quaternion model's real width (4*features).
+    """
+
+    conv_features: Sequence[int] = (32, 32, 64, 64, 64, 64, 64, 64, 64, 64)
+    dense_features: Sequence[int] = (256, 256, 256)
+    vocab: int = 62
+    kernel_size: tuple[int, int] = (3, 3)
+    pool_after: int = 1
+    pool_size: int = 3
+    dropout_rate: float = 0.3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        for i, feats in enumerate(self.conv_features):
+            x = nn.Conv(
+                features=4 * feats,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = PReLU(name=f"conv_prelu_{i}")(x)
+            if i + 1 == self.pool_after:
+                x = nn.max_pool(
+                    x,
+                    window_shape=(1, self.pool_size),
+                    strides=(1, self.pool_size),
+                )
+
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b, t, -1)
+        for i, feats in enumerate(self.dense_features):
+            x = nn.Dense(4 * feats, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = PReLU(name=f"dense_prelu_{i}")(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        logits = nn.Dense(self.vocab, dtype=self.dtype, name="output")(x)
+        return logits.astype(jnp.float32)

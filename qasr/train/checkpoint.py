@@ -1,0 +1,64 @@
+"""Orbax checkpointing: full train state, sharding-aware, best-PER pointer.
+
+Reference capability: Keras ModelCheckpoint HDF5 weights with best-on-dev-PER
+selection + manual resume (SURVEY.md §5 checkpoint/resume; mount empty).
+TPU-native plan: orbax-checkpoint saves the complete state (params, opt
+state, step, PRNG key) multi-host-safely; restore resumes the latest complete
+step; a `best` pointer file tracks the dev-PER-selected step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+from qasr.configs import Config
+
+
+class CheckpointManager:
+    def __init__(self, cfg: Config):
+        self.dir = os.path.abspath(cfg.train.checkpoint_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=cfg.train.keep_checkpoints,
+                create=True,
+            ),
+        )
+        # serialize the config next to the checkpoints (reproducibility)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.dir, "config.json"), "w") as f:
+                f.write(cfg.to_json())
+
+    def save(self, step: int, state, *, dev_per: float | None = None):
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if dev_per is not None and jax.process_index() == 0:
+            best_path = os.path.join(self.dir, "best.json")
+            best = {"step": -1, "dev_per": float("inf")}
+            if os.path.exists(best_path):
+                with open(best_path) as f:
+                    best = json.load(f)
+            if dev_per < best["dev_per"]:
+                with open(best_path, "w") as f:
+                    json.dump({"step": step, "dev_per": dev_per}, f)
+
+    def wait(self):
+        self.mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self.mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        best_path = os.path.join(self.dir, "best.json")
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                return json.load(f)["step"]
+        return None
+
+    def restore(self, step: int, target_state):
+        """Restore into the structure/shardings of `target_state`."""
+        return self.mgr.restore(step, args=ocp.args.StandardRestore(target_state))

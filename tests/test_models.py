@@ -1,0 +1,111 @@
+"""Model construction / forward tests (SURVEY.md §4; reference C7 parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr.configs import get_config
+from qasr.models import QCNNEncoder, RealCNNEncoder, QConv, QDense, PReLU, flatten_quaternion
+from qasr.train.state import build_model, param_count
+
+
+class TestLayers:
+    def test_qconv_param_shape_and_forward(self):
+        m = QConv(features=8, kernel_size=(3, 3))
+        x = jnp.ones((2, 10, 6, 4 * 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert params["params"]["kernel"].shape == (4, 3, 3, 3, 8)
+        y = m.apply(params, x)
+        assert y.shape == (2, 10, 6, 32)
+
+    def test_qdense(self):
+        m = QDense(features=5)
+        x = jnp.ones((7, 4 * 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (7, 20)
+
+    def test_prelu(self):
+        m = PReLU()
+        x = jnp.array([[-2.0, 3.0]])
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        np.testing.assert_allclose(y, [[-0.5, 3.0]])
+
+    def test_flatten_quaternion_layout(self):
+        # [B, T, F=2, 4C with C=3] -> components must stay contiguous blocks
+        b, t, f, c = 1, 1, 2, 3
+        x = jnp.arange(b * t * f * 4 * c, dtype=jnp.float32).reshape(b, t, f, 4 * c)
+        out = flatten_quaternion(x)
+        assert out.shape == (b, t, 4 * f * c)
+        # r-block of output = concat of r-blocks over F
+        want_r = jnp.concatenate([x[0, 0, 0, :c], x[0, 0, 1, :c]])
+        np.testing.assert_array_equal(out[0, 0, : f * c], want_r)
+        want_j = jnp.concatenate([x[0, 0, 0, 2 * c : 3 * c], x[0, 0, 1, 2 * c : 3 * c]])
+        np.testing.assert_array_equal(out[0, 0, 2 * f * c : 3 * f * c], want_j)
+
+
+class TestQCNN:
+    def test_forward_shapes(self):
+        m = QCNNEncoder(conv_features=(8, 8), dense_features=(16,), vocab=12)
+        x = jnp.ones((2, 20, 9, 4))
+        params = m.init(jax.random.PRNGKey(0), x, train=False)
+        y = m.apply(params, x, train=False)
+        assert y.shape == (2, 20, 12)  # time preserved for CTC
+        assert y.dtype == jnp.float32
+
+    def test_param_reduction_vs_real(self):
+        # Hamilton weight sharing: quaternion conv kernel has 1/4 the params of
+        # the equal-feature-map real conv (paper abstract: 3-4x fewer overall).
+        q = QCNNEncoder(conv_features=(16, 16), dense_features=(32,), vocab=12)
+        r = RealCNNEncoder(conv_features=(16, 16), dense_features=(32,), vocab=12)
+        x = jnp.ones((1, 12, 9, 4))
+        qp = q.init(jax.random.PRNGKey(0), x, train=False)["params"]
+        rp = r.init(jax.random.PRNGKey(0), x, train=False)["params"]
+        qk = qp["qconv_1"]["kernel"].size
+        rk = rp["conv_1"]["kernel"].size
+        assert rk == 4 * qk
+        assert param_count(rp) > 2.5 * param_count(qp)
+
+    def test_dropout_only_in_train(self):
+        m = QCNNEncoder(conv_features=(4,), dense_features=(8,), vocab=5,
+                        dropout_rate=0.5)
+        x = jnp.ones((1, 8, 6, 4))
+        params = m.init(jax.random.PRNGKey(0), x, train=False)
+        y1 = m.apply(params, x, train=False)
+        y2 = m.apply(params, x, train=False)
+        np.testing.assert_array_equal(y1, y2)
+        y3 = m.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        assert not np.allclose(y1, y3)
+
+    def test_bf16_compute(self):
+        m = QCNNEncoder(conv_features=(4,), dense_features=(8,), vocab=5,
+                        dtype=jnp.bfloat16)
+        x = jnp.ones((1, 8, 6, 4))
+        params = m.init(jax.random.PRNGKey(0), x, train=False)
+        # params stay f32, logits come back f32
+        assert params["params"]["qconv_0"]["kernel"].dtype == jnp.float32
+        y = m.apply(params, x, train=False)
+        assert y.dtype == jnp.float32
+
+
+class TestConfigs:
+    @pytest.mark.parametrize("name", ["tiny_synthetic", "timit_qcnn", "timit_real_cnn"])
+    def test_build_model_from_preset(self, name):
+        cfg = get_config(name)
+        m = build_model(cfg)
+        assert m is not None
+
+    def test_json_roundtrip(self):
+        from qasr.configs import Config
+
+        cfg = get_config("timit_qcnn")
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2 == cfg
+
+    def test_override(self):
+        cfg = get_config("tiny_synthetic").override(**{"train.num_steps": 5})
+        assert cfg.train.num_steps == 5
+        cfg = cfg.override(**{"model.compute_dtype": "bfloat16"})
+        assert cfg.model.compute_dtype == "bfloat16"

@@ -1,0 +1,112 @@
+"""End-to-end convergence smoke + checkpoint round-trip (SURVEY.md §4 test 7,
+BASELINE.json config 1: CPU-runnable small QCNN + CTC + greedy decode)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from qasr.configs import get_config
+from qasr.data import SyntheticDataset, epoch_iterator, make_batch
+from qasr.decode.scoring import batch_per, edit_distance
+from qasr.train import (
+    CheckpointManager,
+    create_train_state,
+    evaluate,
+    make_eval_step,
+    make_train_step,
+    train,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    return get_config("tiny_synthetic").override(
+        **{
+            "train.num_steps": 220,
+            "train.eval_every": 110,
+            "train.checkpoint_every": 110,
+            "train.log_every": 40,
+            "train.checkpoint_dir": str(ckpt),
+        }
+    )
+
+
+class TestEditDistance:
+    def test_basic(self):
+        assert edit_distance([1, 2, 3], [1, 2, 3]) == 0
+        assert edit_distance([1, 2, 3], [1, 3]) == 1
+        assert edit_distance([], [1, 2]) == 2
+        assert edit_distance([1, 2], [2, 1]) == 2
+        assert edit_distance("kitten", "sitting") == 3
+
+    def test_batch_per(self):
+        refs = np.array([[1, 2, 3, 0], [4, 5, 0, 0]])
+        ref_lens = np.array([3, 2])
+        hyps = np.array([[1, 2, 3, 0], [4, 6, 0, 0]])
+        hyp_lens = np.array([3, 2])
+        errs, total = batch_per(refs, ref_lens, hyps, hyp_lens, fold=False)
+        assert (errs, total) == (1, 5)
+
+
+class TestBatching:
+    def test_static_shapes(self):
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=32, seed=0)
+        cfg = get_config("tiny_synthetic").data
+        shapes = set()
+        count = 0
+        for batch in epoch_iterator(ds, cfg, train=True):
+            assert batch["features"].shape[0] == cfg.batch_size
+            assert batch["features"].shape[1] in cfg.bucket_sizes
+            shapes.add(batch["features"].shape)
+            count += 1
+        assert count >= 2
+        assert len(shapes) <= len(cfg.bucket_sizes)
+
+    def test_lengths_consistent(self):
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=16, seed=1)
+        cfg = get_config("tiny_synthetic").data
+        batch = next(iter(epoch_iterator(ds, cfg, train=False)))
+        assert (batch["feature_lengths"] > 0).all()
+        assert (batch["label_lengths"] > 0).all()
+        # padding beyond feature_lengths is zero
+        i = 0
+        t = int(batch["feature_lengths"][i])
+        assert (batch["features"][i, t:] == 0).all()
+
+
+class TestTrainSmoke:
+    def test_loss_decreases_and_per_beats_chance(self, tiny_cfg):
+        state, metrics = train(tiny_cfg)
+        assert metrics["loss"] < 1.0, f"loss did not converge: {metrics}"
+        ds = SyntheticDataset(
+            vocab=tiny_cfg.model.vocab,
+            n_mels=tiny_cfg.data.n_mels,
+            num_examples=tiny_cfg.data.num_synthetic,
+            seed=tiny_cfg.train.seed,
+        )
+        dev = evaluate(tiny_cfg, state.params, ds, make_eval_step(tiny_cfg))
+        assert dev["per"] < 0.5, f"greedy PER not better than chance: {dev}"
+
+    def test_checkpoint_roundtrip_and_resume(self, tiny_cfg):
+        # depends on the checkpoints written by the previous test
+        ckpt = CheckpointManager(tiny_cfg)
+        step = ckpt.latest_step()
+        assert step is not None and step >= 110
+        ds = SyntheticDataset(
+            vocab=tiny_cfg.model.vocab, n_mels=tiny_cfg.data.n_mels,
+            num_examples=8, seed=0,
+        )
+        batch = next(iter(epoch_iterator(ds, tiny_cfg.data, train=False)))
+        fresh = create_train_state(
+            tiny_cfg, jax.random.PRNGKey(123), batch["features"]
+        )
+        restored = ckpt.restore(step, fresh)
+        assert int(restored.step) == step
+        # restored params differ from fresh init and produce finite loss
+        train_step = make_train_step(tiny_cfg)
+        new_state, m = train_step(restored, {k: np.asarray(v) for k, v in batch.items()})
+        assert np.isfinite(float(m["loss"]))
+        assert int(new_state.step) == step + 1
