@@ -1,0 +1,58 @@
+"""Device mesh construction — the framework's NCCL-equivalent layer.
+
+The reference has no distributed backend at all (single Theano/TF device;
+SURVEY.md §2c). On TPU the communication layer IS the mesh + XLA collectives:
+axis "data" carries utterance-batch data parallelism over ICI, axis "model"
+carries tensor sharding of quaternion weights (SURVEY.md §2c P1/P2/P6,
+BASELINE.json north star). Multi-host bring-up goes through
+`jax.distributed.initialize` before mesh construction; after that, 1 chip and
+N hosts differ only in the device list handed to the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: int = -1,
+    n_model: int = 1,
+    *,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "model") mesh.
+
+    n_data == -1 means "all remaining devices". Device order follows
+    jax.devices(), which enumerates ICI-contiguous chips first, so the model
+    axis (heavier traffic: weight all-gathers) lands on adjacent chips.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data == -1:
+        if n % n_model:
+            raise ValueError(f"{n} devices not divisible by n_model={n_model}")
+        n_data = n // n_model
+    if n_data * n_model != n:
+        raise ValueError(f"mesh {n_data}x{n_model} != {n} devices")
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def initialize_multihost(coordinator: str | None = None):
+    """DCN bootstrap for multi-host slices (no-op on a single process)."""
+    if jax.process_count() > 1 or coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

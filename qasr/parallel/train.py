@@ -1,0 +1,97 @@
+"""Mesh-sharded training: DP over "data", TP/FSDP weight sharding over "model".
+
+The TPU replacement for the multi-device training the reference never had
+(SURVEY.md §2c): one pjit-compiled SPMD train step; GSPMD inserts psum for DP
+gradient reduction and all-gather/reduce-scatter for the model-sharded
+weights, all over ICI. 1 chip vs N hosts differ only in mesh construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from qasr.configs import Config
+from qasr.parallel.sharding import batch_shardings, tree_shardings
+from qasr.train.state import TrainState, build_model, build_optimizer
+from qasr.train.step import make_loss_fn, optax_global_norm
+
+
+def create_sharded_train_state(cfg: Config, rng: jax.Array, sample_features, mesh: Mesh):
+    """Initialize the train state directly into its target shardings.
+
+    jit-with-out_shardings means large models materialize each shard on its
+    own device — the full state never exists unsharded anywhere.
+    Returns (state, state_shardings).
+    """
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+
+    def init_fn(rng, feats):
+        p_rng, d_rng = jax.random.split(rng)
+        params = model.init(p_rng, feats, train=False)["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            dropout_rng=d_rng,
+        )
+
+    feats = jnp.asarray(sample_features)
+    abstract = jax.eval_shape(init_fn, rng, feats)
+    shardings = tree_shardings(mesh, abstract)
+    state = jax.jit(init_fn, out_shardings=shardings)(rng, feats)
+    return state, shardings
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
+    """Build the pjit train step with explicit in/out shardings."""
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    loss_fn = make_loss_fn(cfg, model)
+    b_shardings = batch_shardings(mesh, sample_batch)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(state_shardings, b_shardings),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, True
+        )
+        new_state = state.apply_gradients(grads, tx)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax_global_norm(grads),
+            "frames": batch["feature_lengths"].sum(),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sharded_eval_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
+    from qasr.ops.ctc import ctc_greedy_decode
+
+    model = build_model(cfg)
+    loss_fn = make_loss_fn(cfg, model)
+    b_shardings = batch_shardings(mesh, sample_batch)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(state_shardings.params, b_shardings),
+    )
+    def eval_step(params, batch):
+        loss, logits = loss_fn(params, batch, jax.random.PRNGKey(0), False)
+        decoded, dec_lens = ctc_greedy_decode(
+            logits, batch["feature_lengths"], blank_id=cfg.decode.blank_id
+        )
+        return {"loss": loss, "decoded": decoded, "decoded_lengths": dec_lens}
+
+    return eval_step

@@ -1,0 +1,150 @@
+"""Distributed tests on the 8-device fake CPU mesh (SURVEY.md §4 test 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from qasr.configs import get_config
+from qasr.data import SyntheticDataset, epoch_iterator
+from qasr.parallel import (
+    MODEL_AXIS,
+    create_sharded_train_state,
+    make_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    shard_batch,
+    tree_shardings,
+)
+from qasr.train import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return get_config("tiny_synthetic").override(**{"train.num_steps": 10})
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    ds = SyntheticDataset(
+        vocab=cfg.model.vocab, n_mels=cfg.data.n_mels, num_examples=16, seed=0
+    )
+    return next(iter(epoch_iterator(ds, cfg.data, train=False)))
+
+
+class TestMesh:
+    def test_devices(self):
+        assert jax.device_count() == 8
+
+    def test_make_mesh_shapes(self):
+        m = make_mesh()  # 8x1
+        assert m.shape == {"data": 8, "model": 1}
+        m = make_mesh(-1, 2)
+        assert m.shape == {"data": 4, "model": 2}
+        with pytest.raises(ValueError):
+            make_mesh(3, 2)
+
+
+class TestShardingRules:
+    def test_kernel_sharded_on_cout(self, cfg, batch):
+        mesh = make_mesh(-1, 2)
+        state, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        k_sh = sh.params["qconv_0"]["kernel"]
+        assert k_sh.spec == P(None, None, None, None, MODEL_AXIS)
+        # the realized array is actually sharded
+        arr = state.params["qconv_0"]["kernel"]
+        assert len({d for d in arr.sharding.device_set}) == 8
+        # optimizer moments follow the same rule
+        # (find a kernel leaf inside opt_state with the same spec)
+        specs = [
+            s.spec
+            for p, s in jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]
+            if "kernel" in str(p)
+        ]
+        assert P(None, None, None, None, MODEL_AXIS) in specs
+
+    def test_bias_replicated(self, cfg, batch):
+        mesh = make_mesh(-1, 2)
+        _, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        assert sh.params["qconv_0"]["bias"].spec == P()
+
+    def test_indivisible_dim_falls_back_replicated(self, cfg, batch):
+        # output kernel [.., vocab=12]: 12 % 8 != 0 -> falls back replicated
+        mesh = make_mesh(1, 8)
+        _, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        assert sh.params["output"]["kernel"].spec == P()
+
+
+class TestShardedTraining:
+    def test_dp_step_matches_single_device(self, cfg, batch):
+        """The SPMD DP step must compute the same update as single-device."""
+        mesh = make_mesh(8, 1)
+        state_s, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        step_s = make_sharded_train_step(cfg, mesh, sh, batch)
+        sharded_batch = shard_batch(mesh, batch)
+        new_s, m_s = step_s(state_s, sharded_batch)
+
+        state_1 = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
+        step_1 = make_train_step(cfg)
+        new_1, m_1 = step_1(state_1, dict(batch))
+
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_1["loss"]), rtol=1e-5)
+        k_s = np.asarray(new_s.params["qconv_0"]["kernel"])
+        k_1 = np.asarray(new_1.params["qconv_0"]["kernel"])
+        np.testing.assert_allclose(k_s, k_1, rtol=1e-4, atol=1e-5)
+
+    def test_dp_tp_step_runs_and_matches(self, cfg, batch):
+        mesh = make_mesh(4, 2)
+        state_s, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        step_s = make_sharded_train_step(cfg, mesh, sh, batch)
+        new_s, m_s = step_s(state_s, shard_batch(mesh, batch))
+
+        state_1 = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
+        new_1, m_1 = make_train_step(cfg)(state_1, dict(batch))
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_1["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(new_s.params["qdense_0"]["kernel"]),
+            np.asarray(new_1.params["qdense_0"]["kernel"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_multi_step_training_decreases_loss(self, cfg, batch):
+        mesh = make_mesh(4, 2)
+        state, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        step = make_sharded_train_step(cfg, mesh, sh, batch)
+        sb = shard_batch(mesh, batch)
+        losses = []
+        for _ in range(30):
+            state, m = step(state, sb)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+    def test_eval_step_sharded(self, cfg, batch):
+        mesh = make_mesh(8, 1)
+        state, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        ev = make_sharded_eval_step(cfg, mesh, sh, batch)
+        out = ev(state.params, shard_batch(mesh, batch))
+        assert out["decoded"].shape[0] == batch["features"].shape[0]
+        assert np.isfinite(float(out["loss"]))
+
+
+class TestCollectives:
+    def test_aggregate_per_single_process(self):
+        from qasr.parallel import aggregate_per
+
+        assert aggregate_per(3, 10) == (3, 10)
