@@ -30,6 +30,7 @@ class ModelConfig:
     bidirectional: bool = True
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False
+    op_variant: str = "block"       # block | fast (10-mult Hamilton scheme)
 
 
 @dataclass(frozen=True)
@@ -179,6 +180,7 @@ PRESETS: dict[str, Config] = {
             conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
             dense_features=(256, 256, 256),
             vocab=62,
+            compute_dtype="bfloat16",
         ),
         data=DataConfig(
             dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
@@ -194,6 +196,7 @@ PRESETS: dict[str, Config] = {
             conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
             dense_features=(256, 256, 256),
             vocab=62,
+            compute_dtype="bfloat16",
         ),
         data=DataConfig(
             dataset="timit", max_frames=512, max_label_len=80, batch_size=16,

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from qasr.ops.initializers import quaternion_initializer
-from qasr.ops.qlinalg import qconv, qdense
+from qasr.ops.qlinalg import qconv, qconv_fast, qdense, qdense_fast
 from qasr.ops import pallas as qpallas
 from qasr.ops.quaternion import split_components
 
@@ -45,6 +45,7 @@ class QConv(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
+    variant: str = "block"  # block | fast (10-mult scheme)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -59,12 +60,21 @@ class QConv(nn.Module):
         )
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
-        if self.use_pallas and len(self.kernel_size) == 2:
+        # Pallas conv pays off once the im2col contraction dim (cin*kh*kw)
+        # approaches an MXU tile; below that (e.g. the 1-quaternion-channel
+        # input layer) the XLA block path wins.
+        pallas_ok = (
+            self.use_pallas
+            and len(self.kernel_size) == 2
+            and cin * self.kernel_size[0] * self.kernel_size[1] >= 32
+        )
+        if pallas_ok:
             y = qpallas.qconv2d_pallas(
                 x, kernel.astype(dtype), strides=self.strides, padding=self.padding
             )
         else:
-            y = qconv(
+            conv_fn = qconv_fast if self.variant == "fast" else qconv
+            y = conv_fn(
                 x,
                 kernel.astype(dtype),
                 strides=self.strides,
@@ -84,6 +94,7 @@ class QDense(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
+    variant: str = "block"  # block | fast (10-mult scheme)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +111,8 @@ class QDense(nn.Module):
         if self.use_pallas:
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))
         else:
-            y = qdense(x, kernel.astype(dtype))
+            dense_fn = qdense_fast if self.variant == "fast" else qdense
+            y = dense_fn(x, kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
             y = y + bias.astype(dtype)

@@ -35,6 +35,7 @@ class QCNNEncoder(nn.Module):
     conv_dropout: bool = False
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
+    variant: str = "block"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -46,6 +47,7 @@ class QCNNEncoder(nn.Module):
                 kernel_size=self.kernel_size,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                variant=self.variant,
                 name=f"qconv_{i}",
             )(x)
             x = PReLU(name=f"conv_prelu_{i}")(x)
@@ -66,6 +68,7 @@ class QCNNEncoder(nn.Module):
                 features=feats,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                variant=self.variant,
                 name=f"qdense_{i}",
             )(x)
             x = PReLU(name=f"dense_prelu_{i}")(x)

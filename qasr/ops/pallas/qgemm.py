@@ -1,0 +1,253 @@
+"""Fused Pallas quaternion GEMM — the MXU kernel behind qdense/qconv.
+
+Native-delegation obligation R2 (SURVEY.md §2b): the reference's quaternion
+dense/conv bottoms out in one real GEMM on a 4x-expanded block kernel
+(16 block products, 4x weight HBM traffic; SURVEY.md §3.2). This kernel
+instead:
+
+* keeps weights as the 10-product combination tensor ``wc [10, K, N]``
+  (2.5x the raw components vs 4x for the block expansion) — the 4x kernel is
+  never materialized,
+* forms the 10 input combinations on the VPU in VMEM,
+* runs the Hamilton product as **10** MXU matmuls instead of 16 (the
+  Karatsuba-style bilinear scheme in quaternion.py — a 1.6x FLOP cut),
+* accumulates in f32 scratch across the K grid and writes once.
+
+Layout: activations/outputs travel as ``[4, M, K]`` component-leading so every
+VMEM block is dense in its last two (tiled) dims; the packed<->stacked
+transposes live in the XLA wrapper where they fuse with neighbors.
+
+Grid: (M/TM, N/TN, K/TK), K innermost. Efficient when K, N >= ~128 (MXU
+tile); layer wrappers fall back to the XLA block path below that. Backward is
+custom_vjp: dx reuses this kernel with conjugate-transposed weights (the
+Hamilton adjoint); dw is an XLA 16-product einsum whose contraction dim M is
+large — already MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qasr.ops.quaternion import (
+    HAMILTON_COMP,
+    HAMILTON_SIGN,
+    OUT_COMBO,
+    W_COMBO,
+    X_COMBO,
+)
+
+# The 10 products' input combos: each a sum of 1 or 2 components (X_COMBO is
+# 0/1), and each output component's signed product list (OUT_COMBO in -1/0/1).
+_X_TERMS = [tuple(int(a) for a in np.nonzero(X_COMBO[p])[0]) for p in range(10)]
+_OUT_TERMS = [
+    [(p, int(OUT_COMBO[b, p])) for p in range(10) if OUT_COMBO[b, p] != 0]
+    for b in range(4)
+]
+
+
+def _qgemm_kernel(x_ref, wc_ref, o_ref, acc_ref):
+    # x_ref: [4, TM, TK]; wc_ref: [10, TK, TN]; o/acc_ref: [4, TM, TN]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # form the 10 lhs combos and their products once, reuse across outputs
+    prods = []
+    for p in range(10):
+        terms = _X_TERMS[p]
+        lhs = x_ref[terms[0]]
+        if len(terms) == 2:
+            lhs = lhs + x_ref[terms[1]]
+        prods.append(
+            jnp.dot(lhs, wc_ref[p], preferred_element_type=jnp.float32)
+        )
+    for b in range(4):
+        acc = acc_ref[b]
+        for p, sign in _OUT_TERMS[b]:
+            acc = acc + prods[p] if sign > 0 else acc - prods[p]
+        acc_ref[b] = acc
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk"))
+def _qgemm_raw(x4, wc, *, tm, tn, tk):
+    """x4: [4, M, K]; wc: [10, K, N] -> [4, M, N]; dims pre-padded to tiles."""
+    _, m, k = x4.shape
+    n = wc.shape[2]
+    grid = (m // tm, n // tn, k // tk)
+    bytes_x = x4.size * x4.dtype.itemsize
+    return pl.pallas_call(
+        _qgemm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (4, tm, tk), lambda i, j, kk: (0, i, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (10, tk, tn), lambda i, j, kk: (0, kk, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, tm, tn), lambda i, j, kk: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, m, n), x4.dtype),
+        scratch_shapes=[pltpu.VMEM((4, tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 10 * m * k * n,
+            bytes_accessed=bytes_x * (n // tn)
+            + wc.size * wc.dtype.itemsize * (m // tm)
+            + 4 * m * n * x4.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x4, wc)
+
+
+def _pad_dim(x, axis, mult):
+    rem = (-x.shape[axis]) % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad)
+
+
+def _pick_tiles(m, k, n):
+    tm = 256 if m >= 256 else max(8, 1 << (m - 1).bit_length())
+    tn = min(256, n) if n >= 128 else n
+    tk = min(512, k) if k >= 128 else k
+    return tm, tn, tk
+
+
+def _conj_transpose_w(w):
+    """w [4, K, N] -> adjoint weights [4, N, K]: expand(conj_t(w)) == the
+    blockwise transpose of expand(w), so dx = qgemm(dy, conj_t(w))."""
+    wt = jnp.swapaxes(w, -1, -2)
+    return jnp.concatenate([wt[:1], -wt[1:]], axis=0)
+
+
+# T[a, b, c] = sign[a, b] * 1{comp[a, b] == c} — used by the dw einsum.
+_DW_T = np.zeros((4, 4, 4), np.float32)
+for _a in range(4):
+    for _b in range(4):
+        _DW_T[_a, _b, HAMILTON_COMP[_a, _b]] = HAMILTON_SIGN[_a, _b]
+
+
+def _dw_einsum(x4, dy4):
+    """dw[c] = sum_{a,b: comp[a,b]=c} sign[a,b] * x_a^T @ dy_b.
+
+    x4: [4, M, K]; dy4: [4, M, N] -> [4, K, N]."""
+    prods = jnp.einsum(
+        "amk,bmn->abkn",
+        x4,
+        dy4,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum("abkn,abc->ckn", prods, jnp.asarray(_DW_T, prods.dtype))
+
+
+def _to_stacked(x):
+    """packed [M, 4K] -> stacked [4, M, K]."""
+    m, k4 = x.shape
+    return jnp.moveaxis(x.reshape(m, 4, k4 // 4), 1, 0)
+
+
+def _to_packed(x4):
+    """stacked [4, M, N] -> packed [M, 4N]."""
+    _, m, n = x4.shape
+    return jnp.moveaxis(x4, 0, 1).reshape(m, 4 * n)
+
+
+def _qgemm_stacked(x4, w):
+    """Core: x4 [4, M, K] x w [4, K, N] -> [4, M, N] via the Pallas kernel."""
+    _, m, k = x4.shape
+    n = w.shape[2]
+    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(W_COMBO, w.dtype)).astype(
+        x4.dtype
+    )
+    tm, tn, tk = _pick_tiles(m, k, n)
+    x4p = _pad_dim(_pad_dim(x4, 1, tm), 2, tk)
+    wcp = _pad_dim(_pad_dim(wc, 1, tk), 2, tn)
+    out = _qgemm_raw(x4p, wcp, tm=tm, tn=tn, tk=tk)
+    return out[:, :m, :n]
+
+
+def _qgemm_primal(x, w):
+    return _to_packed(_qgemm_stacked(_to_stacked(x), w))
+
+
+@jax.custom_vjp
+def qgemm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Packed quaternion GEMM: ``[M, 4K] x [4, K, N] -> [M, 4N]`` (Pallas)."""
+    return _qgemm_primal(x, w)
+
+
+def _qgemm_fwd(x, w):
+    return _qgemm_primal(x, w), (x, w)
+
+
+def _qgemm_bwd(res, dy):
+    x, w = res
+    dx = _to_packed(
+        _qgemm_stacked(_to_stacked(dy), _conj_transpose_w(w).astype(w.dtype))
+    )
+    dw = _dw_einsum(_to_stacked(x), _to_stacked(dy)).astype(w.dtype)
+    return dx, dw
+
+
+qgemm.defvjp(_qgemm_fwd, _qgemm_bwd)
+
+
+def qdense_pallas(x: jnp.ndarray, w: jnp.ndarray, **_) -> jnp.ndarray:
+    """Quaternion dense on the Pallas qgemm; any leading batch dims."""
+    lead = x.shape[:-1]
+    out = qgemm(x.reshape(-1, x.shape[-1]), w)
+    return out.reshape(*lead, out.shape[-1])
+
+
+def qconv2d_pallas(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides=None,
+    padding: str = "SAME",
+    **_,
+) -> jnp.ndarray:
+    """Quaternion 2-D conv = im2col (XLA patches) + Pallas qgemm.
+
+    Native-delegation obligation R1 (SURVEY.md §2b). Patch extraction raises
+    the contraction dim to 9*Cin (>=128 MXU tile even for 16 quaternion
+    channels), so the 10-product scheme runs at full tile utilization and the
+    4x-expanded kernel never exists.
+    """
+    if strides is None:
+        strides = (1, 1)
+    b, _, _, cin4 = x.shape
+    cin = cin4 // 4
+    _, kh, kw, _, cout = w.shape
+    patches = lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kh, kw),
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H', W', cin4 * kh * kw], feature order = (channel, kh, kw)
+    ho, wo = patches.shape[1], patches.shape[2]
+    p4 = patches.reshape(b * ho * wo, 4 * cin * kh * kw)
+    # weights [4, kh, kw, cin, cout] -> [4, cin*kh*kw, cout] matching (c, s)
+    w2 = jnp.transpose(w, (0, 3, 1, 2, 4)).reshape(4, cin * kh * kw, cout)
+    # qgemm (custom_vjp) so training backprops through the Pallas kernel;
+    # the patches op itself is differentiable XLA.
+    out = qgemm(p4, w2.astype(x.dtype))
+    return out.reshape(b, ho, wo, 4 * cout)

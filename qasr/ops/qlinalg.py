@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qasr.ops.quaternion import hamilton_expand
+from qasr.ops.quaternion import (
+    OUT_COMBO,
+    W_COMBO,
+    X_COMBO,
+    hamilton_expand,
+)
 
 
 def qdense(
@@ -80,6 +85,9 @@ def qconv(
         dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NWC", "WIO", "NWC"))
     else:
         dn = lax.conv_dimension_numbers(x.shape, w_big.shape, ("NHWC", "HWIO", "NHWC"))
+    # No preferred_element_type here: conv's autodiff transpose cannot mix an
+    # f32 cotangent with bf16 operands, and the MXU accumulates bf16 products
+    # in f32 internally regardless — output dtype follows the operands.
     out = lax.conv_general_dilated(
         x,
         w_big,
@@ -87,9 +95,91 @@ def qconv(
         padding=padding,
         dimension_numbers=dn,
         precision=precision,
-        preferred_element_type=accum_dtype,
     )
     return out.astype(x.dtype)
+
+
+def qdense_fast(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion dense via the 10-multiplication scheme (quaternion.py).
+
+    10 batched ``[M,K]x[K,N]`` matmuls instead of the 16 block products the
+    4x-expanded GEMM performs — a 1.6x MXU FLOP reduction. Elementwise combo
+    formation is fused by XLA.
+    """
+    if w.ndim != 3 or w.shape[0] != 4:
+        raise ValueError(f"dense weights must be [4, Cin, Cout], got {w.shape}")
+    k = w.shape[1]
+    xs = x.reshape(*x.shape[:-1], 4, k)
+    xc = jnp.einsum(
+        "...ak,pa->...pk", xs, jnp.asarray(X_COMBO, x.dtype)
+    )  # [..., 10, K]
+    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(W_COMBO, w.dtype))  # [10, K, N]
+    prods = jnp.einsum(
+        "...pk,pkn->...pn",
+        xc,
+        wc.astype(x.dtype),
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    ys = jnp.einsum(
+        "...pn,bp->...bn", prods, jnp.asarray(OUT_COMBO, accum_dtype)
+    )  # [..., 4, N]
+    return ys.reshape(*x.shape[:-1], 4 * w.shape[2]).astype(x.dtype)
+
+
+def qconv_fast(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides: Sequence[int] | None = None,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion conv via the 10-multiplication scheme as ONE grouped conv.
+
+    The 10 products become feature groups of a single
+    `lax.conv_general_dilated(feature_group_count=10)` call: input combos
+    ``[B,*sp,10*Cin]``, kernel ``[*k, Cin, 10*Cout]``, output ``[B,*sp,10*Cout]``
+    recombined to the 4 quaternion components. 10/16 the FLOPs of the
+    reference's expanded conv (SURVEY.md §3.2) on the hot op.
+    """
+    nspatial = w.ndim - 3
+    if w.shape[0] != 4 or nspatial not in (1, 2):
+        raise ValueError(f"conv weights must be [4, *k, Cin, Cout], got {w.shape}")
+    if strides is None:
+        strides = (1,) * nspatial
+    cin, cout = w.shape[-2], w.shape[-1]
+
+    xs = x.reshape(*x.shape[:-1], 4, cin)
+    xc = jnp.einsum("...ak,pa->...pk", xs, jnp.asarray(X_COMBO, x.dtype))
+    xc = xc.reshape(*x.shape[:-1], 10 * cin)
+    # kernel for grouped conv: [*k, Cin, 10*Cout]; group p reads input slice p
+    wc = jnp.einsum("a...kn,pa->...kpn", w, jnp.asarray(W_COMBO, w.dtype))
+    wc = wc.reshape(*w.shape[1:-2], cin, 10 * cout).astype(x.dtype)
+
+    if nspatial == 1:
+        dn = lax.conv_dimension_numbers(xc.shape, wc.shape, ("NWC", "WIO", "NWC"))
+    else:
+        dn = lax.conv_dimension_numbers(xc.shape, wc.shape, ("NHWC", "HWIO", "NHWC"))
+    prods = lax.conv_general_dilated(
+        xc,
+        wc,
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=dn,
+        feature_group_count=10,
+        precision=precision,
+    )  # [B, *sp_out, 10*Cout]
+    prods = prods.reshape(*prods.shape[:-1], 10, cout)
+    ys = jnp.einsum("...pn,bp->...bn", prods, jnp.asarray(OUT_COMBO, prods.dtype))
+    return ys.reshape(*prods.shape[:-2], 4 * cout).astype(x.dtype)
 
 
 def qconv_expanded_oracle(x, w, *, strides=None, padding="SAME"):

@@ -97,6 +97,57 @@ def hamilton_expand(w: jnp.ndarray, conjugate: bool = False) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=-2)  # along Cin
 
 
+# ---------------------------------------------------------------------------
+# 10-multiplication Hamilton product (Karatsuba-style bilinear scheme).
+#
+# The reference computes the Hamilton product as 16 block products (one
+# 4x-expanded real conv/GEMM, SURVEY.md §3.2). The product bilinear form
+# admits a 10-real-multiplication scheme built from pairwise component sums:
+#
+#   m1..m4 = Wr·xr, Wi·xi, Wj·xj, Wk·xk
+#   m5 = (Wr+Wi)(xr+xi)   m6 = (Wj−Wk)(xj+xk)
+#   m7 = (Wr+Wj)(xr+xj)   m8 = (Wk−Wi)(xk+xi)
+#   m9 = (Wr+Wk)(xr+xk)   m10 = (Wi−Wj)(xi+xj)
+#
+#   y_r = m1 − m2 − m3 − m4
+#   y_i = (m5 − m1 − m2) + (m6 − m3 + m4)
+#   y_j = (m7 − m1 − m3) + (m8 − m4 + m2)
+#   y_k = (m9 − m1 − m4) + (m10 − m2 + m3)
+#
+# For conv/GEMM each "multiplication" is a real matmul on the MXU, so this is
+# a 16→10 FLOP reduction (1.6x) at the cost of cheap elementwise combos.
+# Verified against the naive product in tests/test_quaternion_ops.py.
+# ---------------------------------------------------------------------------
+
+# rows: the 10 products; columns: (r, i, j, k) coefficients
+X_COMBO = np.array(
+    [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [1, 1, 0, 0], [0, 0, 1, 1], [1, 0, 1, 0], [0, 1, 0, 1],
+        [1, 0, 0, 1], [0, 1, 1, 0],
+    ],
+    dtype=np.float32,
+)
+W_COMBO = np.array(
+    [
+        [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1],
+        [1, 1, 0, 0], [0, 0, 1, -1], [1, 0, 1, 0], [0, -1, 0, 1],
+        [1, 0, 0, 1], [0, 1, -1, 0],
+    ],
+    dtype=np.float32,
+)
+# rows: output components (r, i, j, k); columns: the 10 products
+OUT_COMBO = np.array(
+    [
+        [1, -1, -1, -1, 0, 0, 0, 0, 0, 0],
+        [-1, -1, -1, 1, 1, 1, 0, 0, 0, 0],
+        [-1, 1, -1, -1, 0, 0, 1, 1, 0, 0],
+        [-1, -1, 1, -1, 0, 0, 0, 0, 1, 1],
+    ],
+    dtype=np.float32,
+)
+
+
 def hamilton_product(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     """Elementwise Hamilton product of packed quaternion tensors (q1 ⊗ q2)."""
     ar, ai, aj, ak = split_components(q1)

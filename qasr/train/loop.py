@@ -97,12 +97,30 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     return state, last_metrics
 
 
-def evaluate(cfg: Config, params, dataset, eval_step) -> dict:
-    """Greedy-decode PER over one pass of the dataset (dev protocol)."""
+def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> dict:
+    """PER over one pass of the dataset: greedy (dev protocol) or prefix
+    beam search (final numbers; SURVEY.md §3.4)."""
+    from qasr.decode.beam import ctc_beam_search_decode
+    from qasr.train.state import build_model
+
+    model = build_model(cfg) if beam else None
     errs = total = 0
     losses = []
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         out = eval_step(params, batch)
+        if beam:
+            logits = model.apply(
+                {"params": params}, batch["features"], train=False
+            )
+            seq, lens, _ = ctc_beam_search_decode(
+                logits,
+                batch["feature_lengths"],
+                beam_width=cfg.decode.beam_width,
+                blank_id=cfg.decode.blank_id,
+                max_len=int(cfg.data.max_label_len),
+            )
+            out = dict(out)
+            out["decoded"], out["decoded_lengths"] = seq, lens
         losses.append(float(out["loss"]))
         e, n = batch_per(
             batch["labels"],

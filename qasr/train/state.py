@@ -51,6 +51,7 @@ def build_model(cfg: Config) -> nn.Module:
             dropout_rate=m.dropout_rate,
             dtype=dtype,
             use_pallas=m.use_pallas,
+            variant=m.op_variant,
         )
     if m.arch == "real_cnn":
         return RealCNNEncoder(

@@ -1,0 +1,103 @@
+"""Pallas kernel parity tests (SURVEY.md §4 test 2) — interpret mode on CPU.
+
+Real-TPU lowering of these kernels is exercised by bench.py and was verified
+compiled on the axon TPU v5e; here the kernels run under
+`pltpu.force_tpu_interpret_mode()` across shapes (unaligned K, odd M, small
+N), dtypes, and grads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from qasr.ops.pallas import qconv2d_pallas, qdense_pallas, qgemm
+from qasr.ops.qlinalg import qconv, qdense, qconv_expanded_oracle
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+class TestQGemm:
+    @pytest.mark.parametrize(
+        "m,k,n",
+        [
+            (256, 128, 128),   # aligned
+            (300, 130, 96),    # everything unaligned
+            (8, 832, 256),     # tiny M, big K
+            (512, 64, 32),     # below-tile K/N (kernel still correct)
+        ],
+    )
+    def test_matches_block_path(self, m, k, n):
+        kx, kw = jax.random.split(jax.random.PRNGKey(m + k + n))
+        x = _rand(kx, (m, 4 * k))
+        w = _rand(kw, (4, k, n))
+        got = qgemm(x, w)
+        want = qdense(x, w)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grads_match_block_path(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x = _rand(kx, (64, 4 * 130))
+        w = _rand(kw, (4, 130, 40))
+        g1 = jax.grad(lambda x, w: jnp.sum(jnp.sin(qgemm(x, w))), (0, 1))(x, w)
+        g2 = jax.grad(lambda x, w: jnp.sum(jnp.sin(qdense(x, w))), (0, 1))(x, w)
+        np.testing.assert_allclose(g1[0], g2[0], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(g1[1], g2[1], rtol=1e-3, atol=1e-3)
+
+    def test_batch_dims_wrapper(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(1))
+        x = _rand(kx, (2, 7, 4 * 130))
+        w = _rand(kw, (4, 130, 40))
+        got = qdense_pallas(x, w)
+        want = qdense(x, w)
+        assert got.shape == (2, 7, 160)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestQConvPallas:
+    @pytest.mark.parametrize(
+        "spatial,cin,cout,padding",
+        [((12, 9), 16, 8, "SAME"), ((8, 8), 4, 4, "VALID"), ((10, 13), 32, 16, "SAME")],
+    )
+    def test_matches_block_path(self, spatial, cin, cout, padding):
+        kx, kw = jax.random.split(jax.random.PRNGKey(cin + cout))
+        x = _rand(kx, (2, *spatial, 4 * cin))
+        w = _rand(kw, (4, 3, 3, cin, cout))
+        got = qconv2d_pallas(x, w, padding=padding)
+        want = qconv(x, w, padding=padding)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_matches_expanded_oracle(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(9))
+        x = _rand(kx, (1, 9, 9, 4 * 8))
+        w = _rand(kw, (4, 3, 3, 8, 8))
+        got = qconv2d_pallas(x, w)
+        want = qconv_expanded_oracle(x, w)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_strides(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(10))
+        x = _rand(kx, (1, 12, 10, 4 * 8))
+        w = _rand(kw, (4, 3, 3, 8, 8))
+        got = qconv2d_pallas(x, w, strides=(2, 2), padding="VALID")
+        want = qconv(x, w, strides=(2, 2), padding="VALID")
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grad_through_conv(self):
+        kx, kw = jax.random.split(jax.random.PRNGKey(11))
+        x = _rand(kx, (1, 8, 8, 4 * 8))
+        w = _rand(kw, (4, 3, 3, 8, 8))
+        g1 = jax.grad(lambda w: jnp.sum(qconv2d_pallas(x, w) ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(qconv(x, w) ** 2))(w)
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)

@@ -1,0 +1,121 @@
+"""QLSTM hybrid tests (BASELINE.json config 4 capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr.configs import get_config
+from qasr.models.qlstm import (
+    QBiLSTM,
+    QLSTMEncoder,
+    QLSTMLayer,
+    qchannel_concat,
+    qchannel_split,
+)
+from qasr.train.state import build_model
+
+
+class TestQChannelOps:
+    def test_split_concat_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4 * 12))
+        parts = qchannel_split(x, 4)
+        assert len(parts) == 4 and parts[0].shape == (2, 3, 12)
+        back = qchannel_concat(parts)
+        np.testing.assert_array_equal(back, x)
+
+    def test_split_layout(self):
+        # packed [r0 r1 | i0 i1 | j0 j1 | k0 k1], groups=2 -> part0 = ch0 of
+        # each component
+        x = jnp.arange(8, dtype=jnp.float32)[None, :]
+        p0, p1 = qchannel_split(x, 2)
+        np.testing.assert_array_equal(p0[0], [0, 2, 4, 6])
+        np.testing.assert_array_equal(p1[0], [1, 3, 5, 7])
+
+
+class TestQLSTMLayer:
+    def test_forward_shape_and_state(self):
+        m = QLSTMLayer(hidden=8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 4 * 5))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 10, 32)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_reverse_is_time_mirrored(self):
+        xf = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 4 * 3))
+        fwd = QLSTMLayer(hidden=4, reverse=False)
+        bwd = QLSTMLayer(hidden=4, reverse=True)
+        params = fwd.init(jax.random.PRNGKey(0), xf)
+        y_f = fwd.apply(params, xf[:, ::-1])
+        y_b = bwd.apply(params, xf)
+        np.testing.assert_allclose(
+            np.asarray(y_f[:, ::-1]), np.asarray(y_b), rtol=1e-5, atol=1e-6
+        )
+
+    def test_causality(self):
+        # output at t must not depend on inputs after t (forward direction)
+        m = QLSTMLayer(hidden=4)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 4 * 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y1 = m.apply(params, x)
+        x2 = x.at[:, 5:].set(99.0)
+        y2 = m.apply(params, x2)
+        np.testing.assert_allclose(
+            np.asarray(y1[:, :5]), np.asarray(y2[:, :5]), rtol=1e-5, atol=1e-6
+        )
+        assert not np.allclose(np.asarray(y1[:, 5:]), np.asarray(y2[:, 5:]))
+
+
+class TestQLSTMEncoder:
+    def test_full_model_forward(self):
+        m = QLSTMEncoder(
+            conv_features=(4, 4), dense_features=(8,), lstm_features=8,
+            lstm_layers=2, vocab=10,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 12, 9, 4))
+        params = m.init(jax.random.PRNGKey(0), x, train=False)
+        y = m.apply(params, x, train=False)
+        assert y.shape == (2, 12, 10)
+
+    def test_build_from_preset(self):
+        cfg = get_config("librispeech_qlstm").override(
+            **{
+                "model.conv_features": (4, 4),
+                "model.lstm_features": 8,
+                "model.lstm_layers": 1,
+                "model.dense_features": (8,),
+            }
+        )
+        m = build_model(cfg)
+        x = jnp.ones((1, 10, 9, 4))
+        params = m.init(jax.random.PRNGKey(0), x, train=False)
+        y = m.apply(params, x, train=False)
+        assert y.shape == (1, 10, cfg.model.vocab)
+
+    def test_trains_on_synthetic(self):
+        # one gradient step decreases loss on a small batch
+        import optax
+        from qasr.ops.ctc import ctc_loss
+
+        m = QLSTMEncoder(
+            conv_features=(4,), dense_features=(8,), lstm_features=8,
+            lstm_layers=1, vocab=8, dropout_rate=0.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 16, 9, 4))
+        labels = jax.random.randint(jax.random.PRNGKey(6), (4, 4), 1, 8)
+        params = m.init(jax.random.PRNGKey(0), x, train=False)["params"]
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            lg = m.apply({"params": p}, x, train=False)
+            return ctc_loss(lg, labels, jnp.full((4,), 16), jnp.full((4,), 4)).mean()
+
+        l0, g = jax.value_and_grad(loss_fn)(params)
+        for _ in range(10):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(g, opt)
+            params = optax.apply_updates(params, upd)
+        l_end = loss_fn(params)
+        assert float(l_end) < float(l0), (float(l0), float(l_end))

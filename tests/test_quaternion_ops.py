@@ -148,3 +148,38 @@ class TestHamiltonExpand:
         big = hamilton_expand(w)
         bigc = hamilton_expand(w, conjugate=True)
         np.testing.assert_allclose(bigc, big.T, rtol=1e-6)
+
+
+class TestFastVariants:
+    """10-multiplication Hamilton scheme == block path (quaternion.py)."""
+
+    def test_qdense_fast_matches(self):
+        from qasr.ops.qlinalg import qdense_fast
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(20))
+        x = _rand(kx, (9, 4 * 13))
+        w = _rand(kw, (4, 13, 7))
+        np.testing.assert_allclose(
+            qdense_fast(x, w), qdense(x, w), rtol=1e-4, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("spatial,kernel", [((7, 6), (3, 3)), ((11,), (3,))])
+    def test_qconv_fast_matches(self, spatial, kernel):
+        from qasr.ops.qlinalg import qconv_fast
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(21))
+        x = _rand(kx, (2, *spatial, 4 * 5))
+        w = _rand(kw, (4, *kernel, 5, 6))
+        np.testing.assert_allclose(
+            qconv_fast(x, w), qconv(x, w), rtol=1e-4, atol=1e-4
+        )
+
+    def test_fast_grad_matches(self):
+        from qasr.ops.qlinalg import qdense_fast
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(22))
+        x = _rand(kx, (5, 4 * 6))
+        w = _rand(kw, (4, 6, 3))
+        g1 = jax.grad(lambda w: jnp.sum(jnp.tanh(qdense_fast(x, w))))(w)
+        g2 = jax.grad(lambda w: jnp.sum(jnp.tanh(qdense(x, w))))(w)
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)

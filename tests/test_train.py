@@ -110,3 +110,39 @@ class TestTrainSmoke:
         new_state, m = train_step(restored, {k: np.asarray(v) for k, v in batch.items()})
         assert np.isfinite(float(m["loss"]))
         assert int(new_state.step) == step + 1
+
+
+class TestNativeScorer:
+    def test_native_builds_and_matches_python(self):
+        from qasr.decode import scoring
+
+        if scoring._native_ed is None:
+            import pytest
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            a = list(rng.randint(0, 10, size=rng.randint(0, 30)))
+            b = list(rng.randint(0, 10, size=rng.randint(0, 30)))
+            assert scoring._native_ed(a, b) == scoring._edit_distance_py(a, b)
+
+    def test_native_batch_matches(self):
+        from qasr.decode.scoring import batch_per
+        rng = np.random.RandomState(1)
+        refs = rng.randint(1, 9, size=(6, 12)).astype(np.int32)
+        hyps = rng.randint(1, 9, size=(6, 15)).astype(np.int32)
+        rl = rng.randint(1, 13, size=6).astype(np.int32)
+        hl = rng.randint(0, 16, size=6).astype(np.int32)
+        errs, total = batch_per(refs, rl, hyps, hl, fold=False)
+        # python oracle
+        from qasr.decode.scoring import _edit_distance_py
+        e2 = sum(_edit_distance_py(list(refs[i, :rl[i]]), list(hyps[i, :hl[i]])) for i in range(6))
+        assert (errs, total) == (e2, int(rl.sum()))
+
+    def test_folded_per_via_timit_ids(self):
+        from qasr.decode.scoring import per_counts
+        from qasr.data.timit import PHONE_TO_ID
+        # "ao" folds to "aa"; "q" is deleted
+        ref = [PHONE_TO_ID["aa"], PHONE_TO_ID["q"], PHONE_TO_ID["sh"]]
+        hyp = [PHONE_TO_ID["ao"], PHONE_TO_ID["zh"]]
+        errs, n = per_counts(ref, hyp, fold=True)
+        assert (errs, n) == (0, 2)

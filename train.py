@@ -26,6 +26,7 @@ def main():
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--beam", action="store_true", help="prefix beam search for eval")
     ap.add_argument("--list-presets", action="store_true")
     args = ap.parse_args()
 
@@ -63,7 +64,7 @@ def main():
         if step is None:
             raise SystemExit(f"no checkpoint in {cfg.train.checkpoint_dir}")
         state = ckpt.restore(step, state)
-        dev = evaluate(cfg, state.params, dataset, make_eval_step(cfg))
+        dev = evaluate(cfg, state.params, dataset, make_eval_step(cfg), beam=args.beam)
         print(f"[qasr] eval @ step {step}: {dev}")
         return
 
