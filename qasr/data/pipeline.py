@@ -1,0 +1,109 @@
+"""TIMIT feature pipeline: corpus -> on-device quaternion features -> batches.
+
+The reference preprocesses TIMIT offline into pickled numpy features
+(SURVEY.md §1 L1, §3.5). TPU-first redesign: waveforms are featurized by the
+jitted JAX front-end (qasr.features) in large padded batches on the
+accelerator, normalized per utterance, then cached as one .npz per split so
+subsequent epochs stream from host RAM. No audio libraries needed — the
+native SPHERE reader in qasr.data.timit handles TIMIT's format.
+
+This module is exercised end-to-end in CI on synthetic fixture corpora
+(tests/test_timit_pipeline.py writes RIFF wavs + .phn files); on a machine
+with real TIMIT, point ``data.data_dir`` at the corpus root.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from qasr.configs import Config
+from qasr.data.timit import TimitDataset
+
+
+class _FeatureExample:
+    __slots__ = ("features", "labels", "num_frames", "num_labels")
+
+    def __init__(self, features, labels):
+        self.features = features
+        self.labels = labels
+        self.num_frames = features.shape[0]
+        self.num_labels = len(labels)
+
+
+class TimitFeaturePipeline:
+    """Dataset of (quaternion features [T, F, 4], phone ids [L]) pairs."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        split: str = "train",
+        *,
+        cache_dir: str | None = None,
+        featurize_batch: int = 32,
+    ):
+        self.cfg = cfg
+        self.split = split
+        root = cfg.data.data_dir
+        self.corpus = TimitDataset(root, split)
+        cache_dir = cache_dir or os.path.join(root, ".qasr_cache")
+        key = hashlib.sha1(
+            f"{split}:{cfg.data.n_mels}:{cfg.data.sample_rate}:v1".encode()
+        ).hexdigest()[:12]
+        self.cache_path = os.path.join(cache_dir, f"feats_{split}_{key}.npz")
+        self._examples = self._load_or_build(featurize_batch)
+
+    def _load_or_build(self, featurize_batch: int):
+        if os.path.exists(self.cache_path):
+            data = np.load(self.cache_path, allow_pickle=True)
+            feats, labels = data["features"], data["labels"]
+            return [_FeatureExample(f, l) for f, l in zip(feats, labels)]
+
+        import jax.numpy as jnp
+
+        from qasr.features import (
+            FrontendConfig,
+            normalize_features,
+            num_frames,
+            quaternion_features,
+        )
+
+        fcfg = FrontendConfig(
+            sample_rate=self.cfg.data.sample_rate, n_mels=self.cfg.data.n_mels
+        )
+        examples = []
+        n = len(self.corpus)
+        for start in range(0, n, featurize_batch):
+            idxs = range(start, min(start + featurize_batch, n))
+            wavs, labels = zip(*(self.corpus.load(i) for i in idxs))
+            max_samp = max(len(w) for w in wavs)
+            batch = np.zeros((len(wavs), max_samp), np.float32)
+            lens = np.zeros((len(wavs),), np.int32)
+            for j, w in enumerate(wavs):
+                batch[j, : len(w)] = w
+                lens[j] = num_frames(len(w), fcfg)
+            feats = quaternion_features(jnp.asarray(batch), fcfg)
+            feats = normalize_features(feats, jnp.asarray(lens))
+            feats = np.asarray(feats)
+            for j, lab in enumerate(labels):
+                t = int(lens[j])
+                f = feats[j, :t].reshape(t, 4, self.cfg.data.n_mels)
+                # packed [T, 4*n_mels] -> [T, F, 4] NHWC layout for the QCNN
+                f = np.moveaxis(f, 1, 2)
+                examples.append(_FeatureExample(f.copy(), np.asarray(lab)))
+
+        os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
+        np.savez_compressed(
+            self.cache_path,
+            features=np.array([e.features for e in examples], dtype=object),
+            labels=np.array([e.labels for e in examples], dtype=object),
+        )
+        return examples
+
+    def __len__(self):
+        return len(self._examples)
+
+    def __getitem__(self, i) -> _FeatureExample:
+        return self._examples[i]

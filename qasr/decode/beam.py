@@ -3,17 +3,24 @@
 Capability parity: the reference decodes with the backend's beam search
 (`K.ctc_decode(greedy=False, beam_width=W)`, a TF CPU op; SURVEY.md §2a C9,
 §3.4). Here the search is a TPU-native `lax.scan` over time with static
-shapes throughout, so it jits, vmaps over the batch, and runs on device:
+shapes throughout, so it jits, vmaps over the batch, and runs on device.
 
-* beam state: prefixes ``[W, L]``, (p_blank, p_nonblank) log-prob pairs;
-* each frame expands W stay-candidates + W*V extend-candidates;
-* duplicate prefixes (the classic prefix-merge problem, SURVEY.md §7 hard
-  part (c)) are merged by sorting candidates on a rolling hash of the prefix
-  and segment-logsumexp-ing equal runs — O(N log N) per frame, N = W(V+1);
-* `lax.top_k` keeps the W best by total probability.
+Per frame, W stay-candidates (prefix unchanged: blank emission + collapsed
+repeat) and W*V extend-candidates compete for the next beam. The classic
+prefix-merge problem (SURVEY.md §7 hard part (c)) has a structural shortcut:
+duplicates can ONLY pair an extend-candidate with a stay-candidate (two
+distinct surviving prefixes can't extend to the same prefix, and stays keep
+distinct prefixes), so merging is a dense [W,V,W] rolling-hash equality
+contraction + masked logsumexp — no per-frame sort, which keeps TPU compile
+time sane (an argsort/segment-reduce formulation took ~5 min to compile).
+`lax.top_k` then keeps the W best by total probability.
 
-Multi-host DP decode shards utterances over hosts; PER numerators/denominators
-combine via qasr.parallel.collectives.aggregate_per (SURVEY.md §3.4).
+Hashes are 32-bit rolling; a collision would merge two distinct prefixes
+(probability ~W^2·V·T / 2^32 per utterance — negligible for ASR sizes).
+
+Multi-host DP decode shards utterances over hosts; PER numerators/
+denominators combine via qasr.parallel.collectives.aggregate_per
+(SURVEY.md §3.4).
 """
 
 from __future__ import annotations
@@ -36,15 +43,14 @@ def _logaddexp(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, m_safe + jnp.log(s))
 
 
-def _segment_logsumexp(vals, seg_ids, num_segments):
-    """Log-space segment reduction with -inf support."""
-    seg_max = jax.ops.segment_max(vals, seg_ids, num_segments=num_segments)
-    seg_max = jnp.where(seg_max <= NEG_INF / 2, 0.0, seg_max)
-    shifted = jnp.exp(vals - seg_max[seg_ids])
-    shifted = jnp.where(vals <= NEG_INF / 2, 0.0, shifted)
-    seg_sum = jax.ops.segment_sum(shifted, seg_ids, num_segments=num_segments)
-    out = jnp.where(seg_sum > 0, jnp.log(jnp.maximum(seg_sum, 1e-38)) + seg_max, NEG_INF)
-    return out
+def _masked_logsumexp(vals, mask, axis):
+    """logsumexp over `axis` counting only `mask` entries (-inf elsewhere)."""
+    vals = jnp.where(mask, vals, NEG_INF)
+    m = jnp.max(vals, axis=axis)
+    m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+    s = jnp.sum(jnp.exp(vals - jnp.expand_dims(m_safe, axis)), axis=axis)
+    s = jnp.where(m <= NEG_INF / 2, 1.0, jnp.maximum(s, 1e-38))
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, m_safe + jnp.log(s))
 
 
 def _beam_search_single(
@@ -57,7 +63,6 @@ def _beam_search_single(
 ):
     t_total, v = logp.shape
     w = beam_width
-    n_cand = w + w * v
 
     # initial beam: slot 0 = empty prefix; others dead with distinct hashes
     prefixes0 = jnp.full((w, max_len), -1, jnp.int32)
@@ -67,78 +72,59 @@ def _beam_search_single(
     p_nb0 = jnp.full((w,), NEG_INF)
 
     tokens = jnp.arange(v, dtype=jnp.int32)
+    widx = jnp.arange(w)
 
     def step(carry, inp):
         prefixes, lens, hashes, p_b, p_nb = carry
         logp_t, t_idx = inp
 
-        last = jnp.where(
-            lens > 0,
-            prefixes[jnp.arange(w), jnp.maximum(lens - 1, 0)],
-            -1,
-        )  # [W]
-        p_tot = _logaddexp(p_b, p_nb)  # [W]
+        last = jnp.where(lens > 0, prefixes[widx, jnp.maximum(lens - 1, 0)], -1)
+        p_tot = _logaddexp(p_b, p_nb)
 
         # --- stay candidates (prefix unchanged) ---
         stay_pb = p_tot + logp_t[blank_id]
-        # repeat emission keeps the collapsed prefix
-        stay_pnb = jnp.where(
-            lens > 0, p_nb + logp_t[jnp.maximum(last, 0)], NEG_INF
-        )
+        stay_pnb = jnp.where(lens > 0, p_nb + logp_t[jnp.maximum(last, 0)], NEG_INF)
 
-        # --- extend candidates: prefix + v for every non-blank v ---
-        # p_nb'' = logp[v] + (v == last ? p_b : p_tot)
-        base = jnp.where(
-            tokens[None, :] == last[:, None], p_b[:, None], p_tot[:, None]
-        )  # [W, V]
+        # --- extend candidates: prefix + v, v != blank ---
+        base = jnp.where(tokens[None, :] == last[:, None], p_b[:, None], p_tot[:, None])
         ext_pnb = base + logp_t[None, :]
         ext_pnb = jnp.where(tokens[None, :] == blank_id, NEG_INF, ext_pnb)
-        # can't extend past max_len
         ext_pnb = jnp.where(lens[:, None] >= max_len, NEG_INF, ext_pnb)
         ext_hash = hashes[:, None] * _HASH_MULT + (tokens[None, :].astype(jnp.uint32) + 2)
 
-        # --- assemble candidate arrays [N] ---
-        cand_hash = jnp.concatenate([hashes, ext_hash.reshape(-1)])
+        # --- merge extend-candidates that equal an existing beam prefix ---
+        # (the only possible duplicate pairing; see module docstring)
+        eq = ext_hash[:, :, None] == hashes[None, None, :]          # [W, V, W]
+        contrib = _masked_logsumexp(
+            jnp.broadcast_to(ext_pnb[:, :, None], eq.shape), eq, axis=(0, 1)
+        )                                                            # [W]
+        stay_pnb = _logaddexp(stay_pnb, contrib)
+        ext_alive = ~jnp.any(eq, axis=2)
+        ext_pnb = jnp.where(ext_alive, ext_pnb, NEG_INF)
+
+        # --- candidate pool: W stays + W*V extends, all unique prefixes ---
         cand_pb = jnp.concatenate([stay_pb, jnp.full((w * v,), NEG_INF)])
         cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-        cand_parent = jnp.concatenate(
-            [jnp.arange(w, dtype=jnp.int32), jnp.repeat(jnp.arange(w, dtype=jnp.int32), v)]
-        )
+        cand_hash = jnp.concatenate([hashes, ext_hash.reshape(-1)])
+        cand_parent = jnp.concatenate([widx, jnp.repeat(widx, v)]).astype(jnp.int32)
         cand_tok = jnp.concatenate(
             [jnp.full((w,), -1, jnp.int32), jnp.tile(tokens, w)]
         )
+        total = _logaddexp(cand_pb, cand_pnb)
 
-        # --- merge duplicates: sort by hash, segment-logsumexp ---
-        order = jnp.argsort(cand_hash)
-        s_hash = cand_hash[order]
-        s_pb = cand_pb[order]
-        s_pnb = cand_pnb[order]
-        new_group = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32), (s_hash[1:] != s_hash[:-1]).astype(jnp.int32)]
-        )
-        seg = jnp.cumsum(new_group) - 1  # [N]
-        pb_m = _segment_logsumexp(s_pb, seg, n_cand)
-        pnb_m = _segment_logsumexp(s_pnb, seg, n_cand)
-        is_rep = new_group == 1
-        pb_rep = jnp.where(is_rep, pb_m[seg], NEG_INF)
-        pnb_rep = jnp.where(is_rep, pnb_m[seg], NEG_INF)
-        total = _logaddexp(pb_rep, pnb_rep)
-
-        # --- top-W and state rebuild ---
-        top_total, top_idx = lax.top_k(total, w)
-        sel = order[top_idx]  # indices into candidate arrays
+        _, sel = lax.top_k(total, w)
         parent = cand_parent[sel]
         tok = cand_tok[sel]
         new_hash = cand_hash[sel]
-        new_pb = jnp.where(is_rep[top_idx], pb_m[seg[top_idx]], NEG_INF)
-        new_pnb = jnp.where(is_rep[top_idx], pnb_m[seg[top_idx]], NEG_INF)
+        new_pb = cand_pb[sel]
+        new_pnb = cand_pnb[sel]
 
         new_prefixes = prefixes[parent]
         new_lens = lens[parent]
         extend = tok >= 0
-        new_prefixes = new_prefixes.at[
-            jnp.arange(w), jnp.minimum(new_lens, max_len - 1)
-        ].set(jnp.where(extend, tok, new_prefixes[jnp.arange(w), jnp.minimum(new_lens, max_len - 1)]))
+        pos = jnp.minimum(new_lens, max_len - 1)
+        cur = new_prefixes[widx, pos]
+        new_prefixes = new_prefixes.at[widx, pos].set(jnp.where(extend, tok, cur))
         new_lens = new_lens + extend.astype(jnp.int32)
 
         # freeze past the utterance's last frame
