@@ -7,13 +7,14 @@ QCNN (BASELINE.json north-star metric). vs_baseline compares against the
 conv FLOPs equal the 4x-expanded block conv the reference executes every step
 (SURVEY.md §3.2, BASELINE.json config 3) — identical harness, same hardware.
 
-Measurement method: the axon TPU tunnel absorbs ~10-20 queued steps before
-wall-clock reflects device time, and the pool shows cross-process drift, so a
-single timed loop is unreliable. We therefore time two chained runs of
-different lengths and use the difference quotient
+Measurement method (important on the axon TPU tunnel): `block_until_ready`
+does NOT actually synchronize on this backend and per-dispatch queueing
+distorts loop timing, so each measured unit is ONE jit-compiled
+`lax.scan` of n chained train steps ending in a scalar loss that is fetched
+to the host (a real sync, ~30 ms RTT). Step time is the difference quotient
     dt = (T(n_big) - T(n_small)) / (n_big - n_small)
-which cancels queue-fill/launch transients, repeat it with the two model arms
-interleaved (ABAB) to decorrelate drift, and take medians.
+which cancels the RTT and any queue-fill transient; arms are interleaved
+(ABAB) across repeats and medians taken to shed pool drift.
 """
 
 from __future__ import annotations
@@ -36,48 +37,73 @@ def _make_batch(b, t, f, vocab, max_l, seed=0):
 
 
 class _Arm:
-    """One model configuration under test: compiled step + fresh-state maker."""
+    """One model config under test: n chained train steps inside one jit.
 
-    def __init__(self, cfg, batch):
+    The loop bound is a *traced* fori_loop argument so each arm compiles
+    exactly once (remote compiles through the tunnel are the dominant cost).
+    """
+
+    def __init__(self, cfg, batch, lengths=(4, 24)):
         import jax
+        import jax.numpy as jnp
 
-        from qasr.train import create_train_state, make_train_step
+        from qasr.train.state import build_model, build_optimizer, create_train_state
+        from qasr.train.step import make_loss_fn
 
         self._jax = jax
-        self.cfg = cfg
-        self.batch = batch
+        self.lengths = lengths
+        model = build_model(cfg)
+        tx = build_optimizer(cfg)
+        loss_fn = make_loss_fn(cfg, model)
         self.state = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
-        self.step = make_train_step(cfg)
+        self.batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    def run_chained(self, n) -> float:
-        """Run n chained steps, fully synced at both ends; return seconds."""
-        jax = self._jax
-        state = self.state
-        # sync before
-        state, m = self.step(state, self.batch)
-        jax.block_until_ready(m["loss"])
+        def one_step(state, batch):
+            rng = jax.random.fold_in(state.dropout_rng, state.step)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng, True
+            )
+            return state.apply_gradients(grads, tx), loss
+
+        @jax.jit
+        def chain(state, batch, n):
+            def body(_, carry):
+                s, _loss = carry
+                return one_step(s, batch)
+
+            _, loss = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+            return loss
+
+        self._chain = chain
+        float(chain(self.state, self.batch, 1))  # single compile + warm
+
+    def timed(self, n) -> float:
         t0 = time.perf_counter()
-        for _ in range(n):
-            state, m = self.step(state, self.batch)
-        jax.block_until_ready(m["loss"])
+        loss = float(self._chain(self.state, self.batch, n))  # host fetch = sync
         dt = time.perf_counter() - t0
-        self.state = state
+        assert np.isfinite(loss), f"non-finite loss {loss}"
         return dt
 
 
-def bench_arms(arms: dict, *, n_small=5, n_big=25, repeats=5) -> dict:
-    """Difference-quotient step time per arm, interleaved repeats, medians."""
+def bench_arms(arms: dict, *, repeats=5) -> dict:
     est = {k: [] for k in arms}
     for _ in range(repeats):
         for name, arm in arms.items():
-            t_small = arm.run_chained(n_small)
-            t_big = arm.run_chained(n_big)
+            n_small, n_big = arm.lengths
+            t_small = arm.timed(n_small)
+            t_big = arm.timed(n_big)
             est[name].append((t_big - t_small) / (n_big - n_small))
     return {k: statistics.median(v) for k, v in est.items()}
 
 
 def main():
     import jax
+
+    try:  # persistent compile cache: later rounds skip the remote compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/qasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from qasr.configs import get_config
 

@@ -1,15 +1,17 @@
-"""TIMIT feature pipeline: corpus -> on-device quaternion features -> batches.
+"""Corpus -> on-device quaternion features -> cached examples.
 
 The reference preprocesses TIMIT offline into pickled numpy features
 (SURVEY.md §1 L1, §3.5). TPU-first redesign: waveforms are featurized by the
 jitted JAX front-end (qasr.features) in large padded batches on the
 accelerator, normalized per utterance, then cached as one .npz per split so
 subsequent epochs stream from host RAM. No audio libraries needed — the
-native SPHERE reader in qasr.data.timit handles TIMIT's format.
+native SPHERE/RIFF reader in qasr.data.timit handles the formats.
 
-This module is exercised end-to-end in CI on synthetic fixture corpora
-(tests/test_timit_pipeline.py writes RIFF wavs + .phn files); on a machine
-with real TIMIT, point ``data.data_dir`` at the corpus root.
+`FeaturePipeline` is corpus-agnostic (anything with ``load(i) -> (wav, ids)``
+and ``__len__``); `TimitFeaturePipeline` / `LibriFeaturePipeline` bind it to
+the two corpora. Exercised end-to-end in CI on synthetic fixture corpora
+(tests/test_timit_pipeline.py); on a machine with real audio, point
+``data.data_dir`` at the corpus root.
 """
 
 from __future__ import annotations
@@ -20,7 +22,6 @@ import os
 import numpy as np
 
 from qasr.configs import Config
-from qasr.data.timit import TimitDataset
 
 
 class _FeatureExample:
@@ -33,33 +34,33 @@ class _FeatureExample:
         self.num_labels = len(labels)
 
 
-class TimitFeaturePipeline:
-    """Dataset of (quaternion features [T, F, 4], phone ids [L]) pairs."""
+class FeaturePipeline:
+    """Dataset of (quaternion features [T, F, 4], label ids [L]) pairs."""
 
     def __init__(
         self,
+        corpus,
         cfg: Config,
-        split: str = "train",
         *,
-        cache_dir: str | None = None,
+        cache_key: str,
+        cache_dir: str,
         featurize_batch: int = 32,
     ):
         self.cfg = cfg
-        self.split = split
-        root = cfg.data.data_dir
-        self.corpus = TimitDataset(root, split)
-        cache_dir = cache_dir or os.path.join(root, ".qasr_cache")
+        self.corpus = corpus
         key = hashlib.sha1(
-            f"{split}:{cfg.data.n_mels}:{cfg.data.sample_rate}:v1".encode()
+            f"{cache_key}:{cfg.data.n_mels}:{cfg.data.sample_rate}:v1".encode()
         ).hexdigest()[:12]
-        self.cache_path = os.path.join(cache_dir, f"feats_{split}_{key}.npz")
+        self.cache_path = os.path.join(cache_dir, f"feats_{key}.npz")
         self._examples = self._load_or_build(featurize_batch)
 
     def _load_or_build(self, featurize_batch: int):
         if os.path.exists(self.cache_path):
             data = np.load(self.cache_path, allow_pickle=True)
-            feats, labels = data["features"], data["labels"]
-            return [_FeatureExample(f, l) for f, l in zip(feats, labels)]
+            return [
+                _FeatureExample(np.asarray(f, np.float32), np.asarray(l, np.int32))
+                for f, l in zip(data["features"], data["labels"])
+            ]
 
         import jax.numpy as jnp
 
@@ -95,10 +96,19 @@ class TimitFeaturePipeline:
                 examples.append(_FeatureExample(f.copy(), np.asarray(lab)))
 
         os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
+
+        def _obj_array(items):
+            # explicit fill: np.array(..., dtype=object) on same-shaped arrays
+            # would broadcast into a multi-dim object array
+            arr = np.empty(len(items), dtype=object)
+            for i, x in enumerate(items):
+                arr[i] = x
+            return arr
+
         np.savez_compressed(
             self.cache_path,
-            features=np.array([e.features for e in examples], dtype=object),
-            labels=np.array([e.labels for e in examples], dtype=object),
+            features=_obj_array([e.features for e in examples]),
+            labels=_obj_array([e.labels for e in examples]),
         )
         return examples
 
@@ -107,3 +117,31 @@ class TimitFeaturePipeline:
 
     def __getitem__(self, i) -> _FeatureExample:
         return self._examples[i]
+
+
+class TimitFeaturePipeline(FeaturePipeline):
+    def __init__(self, cfg: Config, split: str = "train", **kw):
+        from qasr.data.timit import TimitDataset
+
+        root = cfg.data.data_dir
+        super().__init__(
+            TimitDataset(root, split),
+            cfg,
+            cache_key=f"timit_{split}",
+            cache_dir=kw.pop("cache_dir", None) or os.path.join(root, ".qasr_cache"),
+            **kw,
+        )
+
+
+class LibriFeaturePipeline(FeaturePipeline):
+    def __init__(self, cfg: Config, split: str = "train-clean-100", **kw):
+        from qasr.data.librispeech import LibriSpeechDataset
+
+        root = cfg.data.data_dir
+        super().__init__(
+            LibriSpeechDataset(root, split),
+            cfg,
+            cache_key=f"libri_{split}",
+            cache_dir=kw.pop("cache_dir", None) or os.path.join(root, ".qasr_cache"),
+            **kw,
+        )

@@ -152,3 +152,72 @@ def get_j(x):
 
 def get_k(x):
     return split_components(x)[3]
+
+
+class QBatchNorm(nn.Module):
+    """Quaternion whitening batch norm (reference library component C6).
+
+    Present in the DCN-derived reference layer library though unused by the
+    paper's models (SURVEY.md §2a C6): per quaternion channel, the 4-component
+    covariance is whitened with an inverse-Cholesky factor, then an affine
+    transform with a learnable symmetric 4x4 gamma (init diag 1/2, so the
+    whitened unit-variance components recombine to overall unit variance) and
+    a 4-vector beta is applied. Running stats follow flax's `batch_stats`
+    collection.
+    """
+
+    momentum: float = 0.99
+    eps: float = 1e-4
+    use_running_average: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool | None = None):
+        import jax
+
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        *lead, c4 = x.shape
+        c = c4 // 4
+        xs = x.reshape(-1, 4, c)  # [N, 4, C]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((4, c), jnp.float32)
+        )
+        ra_cov = self.variable(
+            "batch_stats",
+            "cov",
+            lambda: jnp.tile(jnp.eye(4, dtype=jnp.float32)[None] / 4.0, (c, 1, 1)),
+        )
+
+        if use_ra:
+            mean = ra_mean.value
+            cov = ra_cov.value
+        else:
+            xf = xs.astype(jnp.float32)
+            mean = xf.mean(axis=0)  # [4, C]
+            xc = xf - mean[None]
+            cov = jnp.einsum("nac,nbc->cab", xc, xc) / xs.shape[0]  # [C, 4, 4]
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_cov.value = (
+                    self.momentum * ra_cov.value + (1 - self.momentum) * cov
+                )
+
+        # whitening: W = L^-1 with L = chol(cov + eps I); y = W (x - mean)
+        ident = jnp.eye(4, dtype=jnp.float32)
+        chol = jnp.linalg.cholesky(cov + self.eps * ident[None])
+        white = jax.scipy.linalg.solve_triangular(
+            chol, jnp.tile(ident[None], (c, 1, 1)), lower=True
+        )  # [C, 4, 4]
+
+        gamma = self.param(
+            "gamma", lambda *_: jnp.tile(ident[None] * 0.5, (c, 1, 1)), (c, 4, 4)
+        )
+        beta = self.param("beta", nn.initializers.zeros, (4, c))
+
+        xc = xs.astype(jnp.float32) - mean[None]
+        y = jnp.einsum("cab,nbc->nac", gamma @ white, xc) + beta[None]
+        return y.reshape(*lead, c4).astype(x.dtype)

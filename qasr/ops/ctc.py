@@ -94,7 +94,9 @@ def ctc_loss(
         return jnp.where(active, new, alpha), None
 
     xs = (jnp.moveaxis(logp[:, 1:], 1, 0), jnp.arange(1, t))
-    alpha_final, _ = lax.scan(step, alpha0, xs)
+    # unroll: the per-iteration work is small ([B, S] elementwise), so loop
+    # overhead dominates on TPU; unrolling 8 iterations per trip amortizes it
+    alpha_final, _ = lax.scan(step, alpha0, xs, unroll=8)
 
     # p = alpha[S_b - 1] + alpha[S_b - 2]  (last blank or last label)
     last = jnp.take_along_axis(alpha_final, s_valid - 1, axis=1)[:, 0]

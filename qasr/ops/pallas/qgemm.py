@@ -11,15 +11,17 @@ instead:
 * forms the 10 input combinations on the VPU in VMEM,
 * runs the Hamilton product as **10** MXU matmuls instead of 16 (the
   Karatsuba-style bilinear scheme in quaternion.py — a 1.6x FLOP cut),
-* accumulates in f32 scratch across the K grid and writes once.
+* accumulates in f32 scratch, preferring a single full-K block (K padded to
+  the 128-lane tile) so there are no accumulator revisits; K falls back to a
+  grid only when weights would overflow VMEM.
 
 Layout: activations/outputs travel as ``[4, M, K]`` component-leading so every
 VMEM block is dense in its last two (tiled) dims; the packed<->stacked
-transposes live in the XLA wrapper where they fuse with neighbors.
+transposes live in the XLA wrappers where they fuse with neighbors. The
+stacked interface (`qgemm_stacked`) is the differentiable primitive; conv
+goes through it directly so im2col patches are transposed exactly once.
 
-Grid: (M/TM, N/TN, K/TK), K innermost. Efficient when K, N >= ~128 (MXU
-tile); layer wrappers fall back to the XLA block path below that. Backward is
-custom_vjp: dx reuses this kernel with conjugate-transposed weights (the
+Backward: dx reuses this kernel with conjugate-transposed weights (the
 Hamilton adjoint); dw is an XLA 16-product einsum whose contraction dim M is
 large — already MXU-friendly.
 """
@@ -31,7 +33,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,6 +52,9 @@ _OUT_TERMS = [
     for b in range(4)
 ]
 
+_LANE = 128
+_VMEM_BUDGET = 6 * 1024 * 1024  # per concurrently-buffered working set
+
 
 def _qgemm_kernel(x_ref, wc_ref, o_ref, acc_ref):
     # x_ref: [4, TM, TK]; wc_ref: [10, TK, TN]; o/acc_ref: [4, TM, TN]
@@ -60,16 +64,13 @@ def _qgemm_kernel(x_ref, wc_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # form the 10 lhs combos and their products once, reuse across outputs
     prods = []
     for p in range(10):
         terms = _X_TERMS[p]
         lhs = x_ref[terms[0]]
         if len(terms) == 2:
             lhs = lhs + x_ref[terms[1]]
-        prods.append(
-            jnp.dot(lhs, wc_ref[p], preferred_element_type=jnp.float32)
-        )
+        prods.append(jnp.dot(lhs, wc_ref[p], preferred_element_type=jnp.float32))
     for b in range(4):
         acc = acc_ref[b]
         for p, sign in _OUT_TERMS[b]:
@@ -87,7 +88,6 @@ def _qgemm_raw(x4, wc, *, tm, tn, tk):
     _, m, k = x4.shape
     n = wc.shape[2]
     grid = (m // tm, n // tn, k // tk)
-    bytes_x = x4.size * x4.dtype.itemsize
     return pl.pallas_call(
         _qgemm_kernel,
         grid=grid,
@@ -104,9 +104,12 @@ def _qgemm_raw(x4, wc, *, tm, tn, tk):
         ),
         out_shape=jax.ShapeDtypeStruct((4, m, n), x4.dtype),
         scratch_shapes=[pltpu.VMEM((4, tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 10 * m * k * n,
-            bytes_accessed=bytes_x * (n // tn)
+            bytes_accessed=x4.size * x4.dtype.itemsize * (n // tn)
             + wc.size * wc.dtype.itemsize * (m // tm)
             + 4 * m * n * x4.dtype.itemsize,
             transcendentals=0,
@@ -123,18 +126,31 @@ def _pad_dim(x, axis, mult):
     return jnp.pad(x, pad)
 
 
-def _pick_tiles(m, k, n):
-    tm = 256 if m >= 256 else max(8, 1 << (m - 1).bit_length())
-    tn = min(256, n) if n >= 128 else n
-    tk = min(512, k) if k >= 128 else k
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _pick_tiles(m, k, n, itemsize):
+    """Prefer one full-K block (no accumulator revisits); shrink TM/TN to fit
+    the VMEM budget; K-grid only for very large K."""
+    tn = min(_round_up(n, _LANE), 256)
+    tm = min(_round_up(m, 8), 256)
+    k_pad = _round_up(k, _LANE)
+
+    def fits(tm, tn, tk):
+        x_b = 4 * tm * tk * itemsize
+        w_b = 10 * tk * tn * itemsize
+        o_b = 4 * tm * tn * itemsize + 4 * tm * tn * 4
+        return x_b + w_b + o_b <= _VMEM_BUDGET
+
+    tk = k_pad
+    while not fits(tm, tn, tk) and tm > 64:
+        tm //= 2
+    while not fits(tm, tn, tk) and tn > _LANE:
+        tn //= 2
+    while not fits(tm, tn, tk) and tk > _LANE:
+        tk = _round_up(tk // 2, _LANE)
     return tm, tn, tk
-
-
-def _conj_transpose_w(w):
-    """w [4, K, N] -> adjoint weights [4, N, K]: expand(conj_t(w)) == the
-    blockwise transpose of expand(w), so dx = qgemm(dy, conj_t(w))."""
-    wt = jnp.swapaxes(w, -1, -2)
-    return jnp.concatenate([wt[:1], -wt[1:]], axis=0)
 
 
 # T[a, b, c] = sign[a, b] * 1{comp[a, b] == c} — used by the dw einsum.
@@ -144,17 +160,53 @@ for _a in range(4):
         _DW_T[_a, _b, HAMILTON_COMP[_a, _b]] = HAMILTON_SIGN[_a, _b]
 
 
+def _conj_transpose_w(w):
+    """w [4, K, N] -> adjoint weights [4, N, K]: expand(conj_t(w)) == the
+    blockwise transpose of expand(w), so dx = qgemm(dy, conj_t(w))."""
+    wt = jnp.swapaxes(w, -1, -2)
+    return jnp.concatenate([wt[:1], -wt[1:]], axis=0)
+
+
 def _dw_einsum(x4, dy4):
     """dw[c] = sum_{a,b: comp[a,b]=c} sign[a,b] * x_a^T @ dy_b.
 
     x4: [4, M, K]; dy4: [4, M, N] -> [4, K, N]."""
     prods = jnp.einsum(
-        "amk,bmn->abkn",
-        x4,
-        dy4,
-        preferred_element_type=jnp.float32,
+        "amk,bmn->abkn", x4, dy4, preferred_element_type=jnp.float32
     )
     return jnp.einsum("abkn,abc->ckn", prods, jnp.asarray(_DW_T, prods.dtype))
+
+
+def _qgemm_stacked_impl(x4, w):
+    """Core: x4 [4, M, K] x w [4, K, N] -> [4, M, N] via the Pallas kernel."""
+    _, m, k = x4.shape
+    n = w.shape[2]
+    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(W_COMBO, w.dtype)).astype(x4.dtype)
+    tm, tn, tk = _pick_tiles(m, k, n, x4.dtype.itemsize)
+    x4p = _pad_dim(_pad_dim(x4, 1, tm), 2, tk)
+    wcp = _pad_dim(_pad_dim(wc, 1, tk), 2, tn)
+    out = _qgemm_raw(x4p, wcp, tm=tm, tn=tn, tk=tk)
+    return out[:, :m, :n]
+
+
+@jax.custom_vjp
+def qgemm_stacked(x4: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion GEMM on stacked layout: ``[4, M, K] x [4, K, N] -> [4, M, N]``."""
+    return _qgemm_stacked_impl(x4, w)
+
+
+def _qgemm_stacked_fwd(x4, w):
+    return _qgemm_stacked_impl(x4, w), (x4, w)
+
+
+def _qgemm_stacked_bwd(res, dy4):
+    x4, w = res
+    dx4 = _qgemm_stacked_impl(dy4, _conj_transpose_w(w).astype(w.dtype))
+    dw = _dw_einsum(x4, dy4).astype(w.dtype)
+    return dx4, dw
+
+
+qgemm_stacked.defvjp(_qgemm_stacked_fwd, _qgemm_stacked_bwd)
 
 
 def _to_stacked(x):
@@ -169,44 +221,9 @@ def _to_packed(x4):
     return jnp.moveaxis(x4, 0, 1).reshape(m, 4 * n)
 
 
-def _qgemm_stacked(x4, w):
-    """Core: x4 [4, M, K] x w [4, K, N] -> [4, M, N] via the Pallas kernel."""
-    _, m, k = x4.shape
-    n = w.shape[2]
-    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(W_COMBO, w.dtype)).astype(
-        x4.dtype
-    )
-    tm, tn, tk = _pick_tiles(m, k, n)
-    x4p = _pad_dim(_pad_dim(x4, 1, tm), 2, tk)
-    wcp = _pad_dim(_pad_dim(wc, 1, tk), 2, tn)
-    out = _qgemm_raw(x4p, wcp, tm=tm, tn=tn, tk=tk)
-    return out[:, :m, :n]
-
-
-def _qgemm_primal(x, w):
-    return _to_packed(_qgemm_stacked(_to_stacked(x), w))
-
-
-@jax.custom_vjp
 def qgemm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Packed quaternion GEMM: ``[M, 4K] x [4, K, N] -> [M, 4N]`` (Pallas)."""
-    return _qgemm_primal(x, w)
-
-
-def _qgemm_fwd(x, w):
-    return _qgemm_primal(x, w), (x, w)
-
-
-def _qgemm_bwd(res, dy):
-    x, w = res
-    dx = _to_packed(
-        _qgemm_stacked(_to_stacked(dy), _conj_transpose_w(w).astype(w.dtype))
-    )
-    dw = _dw_einsum(_to_stacked(x), _to_stacked(dy)).astype(w.dtype)
-    return dx, dw
-
-
-qgemm.defvjp(_qgemm_fwd, _qgemm_bwd)
+    return _to_packed(qgemm_stacked(_to_stacked(x), w))
 
 
 def qdense_pallas(x: jnp.ndarray, w: jnp.ndarray, **_) -> jnp.ndarray:
@@ -224,30 +241,46 @@ def qconv2d_pallas(
     padding: str = "SAME",
     **_,
 ) -> jnp.ndarray:
-    """Quaternion 2-D conv = im2col (XLA patches) + Pallas qgemm.
+    """Quaternion 2-D conv = slice-im2col + Pallas qgemm.
 
-    Native-delegation obligation R1 (SURVEY.md §2b). Patch extraction raises
-    the contraction dim to 9*Cin (>=128 MXU tile even for 16 quaternion
-    channels), so the 10-product scheme runs at full tile utilization and the
-    4x-expanded kernel never exists.
+    Native-delegation obligation R1 (SURVEY.md §2b). Patches are built from
+    kh*kw shifted slices (pure memory ops — no one-hot conv) in
+    offset-major order, stacked straight into the kernel's ``[4, M, 9K]``
+    layout with ONE transpose; weights reshape to offset-major ``[4, 9K, N]``
+    with no data movement. The contraction dim 9*Cin reaches MXU tiles even
+    for small channel counts, and the 4x-expanded kernel never exists.
     """
     if strides is None:
         strides = (1, 1)
-    b, _, _, cin4 = x.shape
+    st, sf = strides
+    b, h, wd, cin4 = x.shape
     cin = cin4 // 4
     _, kh, kw, _, cout = w.shape
-    patches = lax.conv_general_dilated_patches(
-        x,
-        filter_shape=(kh, kw),
-        window_strides=tuple(strides),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # [B, H', W', cin4 * kh * kw], feature order = (channel, kh, kw)
-    ho, wo = patches.shape[1], patches.shape[2]
-    p4 = patches.reshape(b * ho * wo, 4 * cin * kh * kw)
-    # weights [4, kh, kw, cin, cout] -> [4, cin*kh*kw, cout] matching (c, s)
-    w2 = jnp.transpose(w, (0, 3, 1, 2, 4)).reshape(4, cin * kh * kw, cout)
-    # qgemm (custom_vjp) so training backprops through the Pallas kernel;
-    # the patches op itself is differentiable XLA.
-    out = qgemm(p4, w2.astype(x.dtype))
-    return out.reshape(b, ho, wo, 4 * cout)
+
+    if padding == "SAME":
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        ph2, pw2 = kh - 1 - ph, kw - 1 - pw
+        xp = jnp.pad(x, ((0, 0), (ph, ph2), (pw, pw2), (0, 0)))
+    elif padding == "VALID":
+        xp = x
+    else:
+        raise ValueError(f"unsupported padding {padding!r}")
+    ho = (xp.shape[1] - kh) // st + 1
+    wo = (xp.shape[2] - kw) // sf + 1
+
+    # offset-major patches: [B, Ho, Wo, S=kh*kw, 4, cin]
+    slices = [
+        xp[:, dt : dt + (ho - 1) * st + 1 : st, df : df + (wo - 1) * sf + 1 : sf, :]
+        for dt in range(kh)
+        for df in range(kw)
+    ]
+    patches = jnp.stack(slices, axis=3).reshape(b, ho, wo, kh * kw, 4, cin)
+    m = b * ho * wo
+    # ONE transpose into the kernel layout [4, M, S*cin]
+    p4 = jnp.transpose(patches.reshape(m, kh * kw, 4, cin), (2, 0, 1, 3))
+    p4 = p4.reshape(4, m, kh * kw * cin)
+    # weights [4, kh, kw, cin, cout] are already offset-major: pure reshape
+    w2 = w.reshape(4, kh * kw * cin, cout)
+
+    out = qgemm_stacked(p4, w2.astype(x.dtype))  # [4, M, cout]
+    return _to_packed(out).reshape(b, ho, wo, 4 * cout)

@@ -2,6 +2,12 @@
 
 Epoch-less step loop over bucketed batches with periodic eval (greedy dev
 PER), Orbax checkpointing, and structured metrics incl. audio-seconds/s/chip.
+
+Always SPMD: the loop builds the (data, model) mesh from MeshConfig — a
+single chip is just the 1x1 mesh — so 1 chip, 1 host, and N hosts differ only
+in mesh construction (SURVEY.md §4 test 6, §5 "Distributed communication
+backend"). Batches are placed by the step's in_shardings; PER counters
+aggregate across hosts via collectives.
 """
 
 from __future__ import annotations
@@ -17,11 +23,10 @@ from qasr.data.synthetic import SyntheticDataset
 from qasr.decode.scoring import batch_per
 from qasr.train.checkpoint import CheckpointManager
 from qasr.train.metrics import MetricWriter
-from qasr.train.state import create_train_state, param_count
-from qasr.train.step import make_eval_step, make_train_step
+from qasr.train.state import param_count
 
 
-def build_dataset(cfg: Config, *, seed: int = 0):
+def build_dataset(cfg: Config, *, seed: int = 0, split: str = "train"):
     d = cfg.data
     if d.dataset == "synthetic":
         return SyntheticDataset(
@@ -33,8 +38,25 @@ def build_dataset(cfg: Config, *, seed: int = 0):
     if d.dataset == "timit":
         from qasr.data.pipeline import TimitFeaturePipeline
 
-        return TimitFeaturePipeline(cfg, split="train")
+        return TimitFeaturePipeline(cfg, split=split)
+    if d.dataset == "librispeech":
+        from qasr.data.pipeline import LibriFeaturePipeline
+
+        libri_split = split if split != "train" else "train-clean-100"
+        return LibriFeaturePipeline(cfg, split=libri_split)
     raise ValueError(f"unsupported dataset {d.dataset!r} in this environment")
+
+
+def build_mesh_from_config(cfg: Config):
+    # deferred import: qasr.parallel.train imports back into qasr.train
+    from qasr.parallel.mesh import make_mesh
+
+    m = cfg.mesh
+    n = jax.device_count()
+    n_model = min(m.model_axis, n)
+    while n % n_model:
+        n_model -= 1
+    return make_mesh(n // n_model, n_model)
 
 
 def _batch_stream(dataset, cfg: Config, seed: int):
@@ -46,25 +68,34 @@ def _batch_stream(dataset, cfg: Config, seed: int):
 
 def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     """Run training to cfg.train.num_steps. Returns (state, last_metrics)."""
+    from qasr.parallel.train import (
+        create_sharded_train_state,
+        make_sharded_eval_step,
+        make_sharded_train_step,
+    )
+
     rng = jax.random.PRNGKey(cfg.train.seed)
+    mesh = build_mesh_from_config(cfg)
     dataset = build_dataset(cfg, seed=cfg.train.seed)
     stream = _batch_stream(dataset, cfg, cfg.train.seed)
     first = next(stream)
 
-    state = create_train_state(cfg, rng, first["features"])
+    state, shardings = create_sharded_train_state(cfg, rng, first["features"], mesh)
     ckpt = CheckpointManager(cfg)
     if resume and ckpt.latest_step() is not None:
         state = ckpt.restore(ckpt.latest_step(), state)
         print(f"[qasr] resumed from step {int(state.step)}")
 
-    train_step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg)
+    train_step = make_sharded_train_step(cfg, mesh, shardings, first)
+    eval_step = make_sharded_eval_step(cfg, mesh, shardings, first)
     writer = MetricWriter(metrics_dir or cfg.train.checkpoint_dir)
     n_chips = jax.device_count()
     frame_s = 0.010  # hop 10 ms -> 1 frame = 10 ms of audio
 
-    print(f"[qasr] config={cfg.name} params={param_count(state.params):,} "
-          f"devices={n_chips}")
+    print(
+        f"[qasr] config={cfg.name} params={param_count(state.params):,} "
+        f"mesh={dict(mesh.shape)} devices={n_chips}"
+    )
 
     batch = first
     last_metrics = {}
@@ -99,8 +130,10 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
 
 def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> dict:
     """PER over one pass of the dataset: greedy (dev protocol) or prefix
-    beam search (final numbers; SURVEY.md §3.4)."""
+    beam search (final numbers; SURVEY.md §3.4). Counters aggregate across
+    hosts (multi-host DP decode)."""
     from qasr.decode.beam import ctc_beam_search_decode
+    from qasr.parallel.collectives import aggregate_per
     from qasr.train.state import build_model
 
     model = build_model(cfg) if beam else None
@@ -109,9 +142,7 @@ def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> 
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         out = eval_step(params, batch)
         if beam:
-            logits = model.apply(
-                {"params": params}, batch["features"], train=False
-            )
+            logits = model.apply({"params": params}, batch["features"], train=False)
             seq, lens, _ = ctc_beam_search_decode(
                 logits,
                 batch["feature_lengths"],
@@ -131,6 +162,7 @@ def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> 
         )
         errs += e
         total += n
+    errs, total = aggregate_per(errs, total)
     return {
         "loss": float(np.mean(losses)) if losses else float("nan"),
         "per": errs / max(total, 1),

@@ -23,13 +23,21 @@ from qasr.train.state import TrainState, build_model, build_optimizer
 def make_loss_fn(cfg: Config, model) -> Callable:
     blank = cfg.decode.blank_id
 
-    def loss_fn(params, batch, dropout_rng, train: bool):
-        logits = model.apply(
-            {"params": params},
-            batch["features"],
-            train=train,
-            rngs={"dropout": dropout_rng} if train else {},
+    def fwd_train(params, features, dropout_rng):
+        return model.apply(
+            {"params": params}, features, train=True, rngs={"dropout": dropout_rng}
         )
+
+    if cfg.train.remat_convs:
+        # rematerialize the encoder in backward: trade FLOPs for HBM
+        # (SURVEY.md environment notes: jax.checkpoint on the conv stack)
+        fwd_train = jax.checkpoint(fwd_train)
+
+    def loss_fn(params, batch, dropout_rng, train: bool):
+        if train:
+            logits = fwd_train(params, batch["features"], dropout_rng)
+        else:
+            logits = model.apply({"params": params}, batch["features"], train=False)
         losses = ctc_loss(
             logits,
             batch["labels"],

@@ -109,3 +109,59 @@ class TestConfigs:
         assert cfg.train.num_steps == 5
         cfg = cfg.override(**{"model.compute_dtype": "bfloat16"})
         assert cfg.model.compute_dtype == "bfloat16"
+
+
+class TestQBatchNorm:
+    def test_whitens_to_identity_covariance(self):
+        from qasr.models.layers import QBatchNorm
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        # correlated but FULL-RANK components: random 4x4 mixing per channel
+        src = rng.randn(4096, 4, 3).astype(np.float32)
+        mix = rng.randn(3, 4, 4).astype(np.float32) + 2 * np.eye(4)[None]
+        x = (np.einsum("nac,cba->nbc", src, mix) + rng.randn(3, 4)[None].transpose(0, 2, 1)).reshape(4096, 12)
+        m = QBatchNorm()
+        vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+        y, _ = m.apply(
+            vars_, jnp.asarray(x), use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        ys = np.asarray(y).reshape(-1, 4, 3)
+        for c in range(3):
+            comp = ys[:, :, c]
+            cov = np.cov(comp.T)
+            # gamma=0.5*I on whitened unit components -> cov = 0.25 I
+            np.testing.assert_allclose(cov, 0.25 * np.eye(4), atol=0.02)
+            np.testing.assert_allclose(comp.mean(axis=0), 0.0, atol=0.02)
+
+    def test_running_stats_update_and_inference(self):
+        from qasr.models.layers import QBatchNorm
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.random.RandomState(1).randn(512, 8).astype(np.float32) * 3 + 1)
+        m = QBatchNorm(momentum=0.0)  # adopt batch stats immediately
+        vars_ = m.init(jax.random.PRNGKey(0), x, use_running_average=False)
+        y, updated = m.apply(vars_, x, use_running_average=False, mutable=["batch_stats"])
+        vars2 = {"params": vars_["params"], **updated}
+        y_inf = m.apply(vars2, x, use_running_average=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_inf), atol=1e-3)
+
+    def test_grads_flow(self):
+        from qasr.models.layers import QBatchNorm
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.random.RandomState(2).randn(64, 8).astype(np.float32))
+        m = QBatchNorm()
+        vars_ = m.init(jax.random.PRNGKey(0), x, use_running_average=False)
+
+        def loss(p):
+            y, _ = m.apply(
+                {"params": p, "batch_stats": vars_["batch_stats"]}, x,
+                use_running_average=False, mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        g = jax.grad(loss)(vars_["params"])
+        assert np.isfinite(np.asarray(g["gamma"])).all()
+        assert np.isfinite(np.asarray(g["beta"])).all()

@@ -148,3 +148,44 @@ class TestCollectives:
         from qasr.parallel import aggregate_per
 
         assert aggregate_per(3, 10) == (3, 10)
+
+
+class TestSeqParallelConv:
+    """P3: time-axis sharded conv with ppermute halo exchange."""
+
+    def test_matches_global_conv(self):
+        from qasr.parallel.seq_parallel import qconv2d_seq_parallel
+        from qasr.ops.qlinalg import qconv
+
+        mesh = make_mesh(8, 1)
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, (2, 64, 9, 4 * 3))  # T=64 over 8 shards
+        w = jax.random.normal(kw, (4, 3, 3, 3, 5))
+        got = qconv2d_seq_parallel(x, w, mesh, axis="data")
+        want = qconv(x, w, padding="SAME")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    def test_5x5_kernel_and_grad(self):
+        from qasr.parallel.seq_parallel import qconv2d_seq_parallel
+        from qasr.ops.qlinalg import qconv
+
+        mesh = make_mesh(4, 2)
+        kx, kw = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(kx, (1, 32, 7, 4 * 2))
+        w = jax.random.normal(kw, (4, 5, 5, 2, 2))
+        got = qconv2d_seq_parallel(x, w, mesh, axis="data")
+        want = qconv(x, w, padding="SAME")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+        g1 = jax.grad(lambda w: jnp.sum(qconv2d_seq_parallel(x, w, mesh, axis="data") ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(qconv(x, w) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3)
+
+    def test_even_kernel_rejected(self):
+        from qasr.parallel.seq_parallel import qconv2d_seq_parallel
+
+        mesh = make_mesh(8, 1)
+        with pytest.raises(ValueError, match="odd"):
+            qconv2d_seq_parallel(
+                jnp.ones((1, 8, 4, 4)), jnp.ones((4, 2, 3, 1, 1)), mesh
+            )

@@ -1,0 +1,206 @@
+"""TIMIT reader + feature pipeline tests on synthetic fixture corpora
+(SURVEY.md §4 test 5; no real TIMIT audio in this container)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from qasr.configs import get_config
+from qasr.data.timit import (
+    CORE_TEST_SPEAKERS,
+    PHONE_TO_ID,
+    TimitDataset,
+    read_phn,
+    read_sphere,
+)
+
+
+def _write_riff(path, samples, rate=16000):
+    data = samples.astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _write_nist(path, samples, rate=16000):
+    data = samples.astype("<i2").tobytes()
+    header = (
+        "NIST_1A\n   1024\n"
+        f"sample_count -i {len(samples)}\n"
+        f"sample_rate -i {rate}\n"
+        "channel_count -i 1\n"
+        "sample_byte_format -s2 01\n"
+        "sample_coding -s3 pcm\n"
+        "end_head\n"
+    ).encode("ascii")
+    with open(path, "wb") as f:
+        f.write(header + b" " * (1024 - len(header)))
+        f.write(data)
+
+
+def _write_phn(path, phones):
+    with open(path, "w") as f:
+        t = 0
+        for p in phones:
+            f.write(f"{t} {t + 800} {p}\n")
+            t += 800
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("timit")
+    rng = np.random.RandomState(0)
+
+    def utt(split_dir, speaker, name, nist=False):
+        d = root / split_dir / "dr1" / speaker
+        d.mkdir(parents=True, exist_ok=True)
+        wav = (rng.randn(12000) * 3000).astype(np.int16)
+        if nist:
+            _write_nist(str(d / f"{name}.wav"), wav)
+        else:
+            _write_riff(str(d / f"{name}.wav"), wav)
+        _write_phn(str(d / f"{name}.phn"), ["h#", "sh", "iy", "h#"])
+
+    utt("train", "mabc0", "si1", nist=False)
+    utt("train", "mabc0", "si2", nist=True)
+    utt("train", "mabc0", "sa1")  # SA sentence: must be excluded
+    utt("train", "fdef0", "sx3")
+    core = sorted(CORE_TEST_SPEAKERS)[0]
+    utt("test", core, "si4")
+    utt("test", "mzzz9", "si5")  # non-core test speaker -> dev
+    return str(root)
+
+
+class TestSphereReaders:
+    def test_riff_roundtrip(self, tmp_path):
+        wav = (np.sin(np.linspace(0, 100, 4000)) * 10000).astype(np.int16)
+        p = str(tmp_path / "x.wav")
+        _write_riff(p, wav)
+        got, rate = read_sphere(p)
+        assert rate == 16000
+        np.testing.assert_array_equal(got, wav)
+
+    def test_nist_roundtrip(self, tmp_path):
+        wav = (np.cos(np.linspace(0, 50, 3000)) * 8000).astype(np.int16)
+        p = str(tmp_path / "x.wav")
+        _write_nist(p, wav)
+        got, rate = read_sphere(p)
+        assert rate == 16000
+        np.testing.assert_array_equal(got, wav)
+
+    def test_phn(self, tmp_path):
+        p = str(tmp_path / "x.phn")
+        _write_phn(p, ["h#", "ae", "q", "h#"])
+        assert read_phn(p) == ["h#", "ae", "q", "h#"]
+
+
+class TestTimitDataset:
+    def test_train_split_excludes_sa(self, fixture_corpus):
+        ds = TimitDataset(fixture_corpus, "train")
+        names = [os.path.basename(u.wav_path) for u in ds.utterances]
+        assert "sa1.wav" not in names
+        assert len(ds) == 3
+
+    def test_core_and_dev_splits(self, fixture_corpus):
+        core = TimitDataset(fixture_corpus, "core_test")
+        assert len(core) == 1
+        dev = TimitDataset(fixture_corpus, "dev")
+        assert len(dev) == 1
+        full = TimitDataset(fixture_corpus, "full_test")
+        assert len(full) == 2
+
+    def test_load_returns_ids(self, fixture_corpus):
+        ds = TimitDataset(fixture_corpus, "train")
+        wav, ids = ds.load(0)
+        assert wav.dtype == np.float32 and np.abs(wav).max() <= 1.0
+        assert list(ids) == [PHONE_TO_ID[p] for p in ["h#", "sh", "iy", "h#"]]
+
+    def test_missing_root_raises_clearly(self):
+        with pytest.raises(FileNotFoundError, match="synthetic"):
+            TimitDataset("/nonexistent/timit", "train")
+
+
+class TestFeaturePipeline:
+    def test_end_to_end(self, fixture_corpus):
+        cfg = get_config("timit_qcnn").override(
+            **{"data.data_dir": fixture_corpus, "data.batch_size": 2}
+        )
+        pipe_cls = __import__(
+            "qasr.data.pipeline", fromlist=["TimitFeaturePipeline"]
+        ).TimitFeaturePipeline
+        pipe = pipe_cls(cfg, split="train", featurize_batch=2)
+        assert len(pipe) == 3
+        ex = pipe[0]
+        # 12000 samples, 400/160 framing -> 73 frames
+        assert ex.features.shape == (73, 40, 4)
+        assert np.isfinite(ex.features).all()
+        assert ex.num_labels == 4
+        # normalized: near-zero mean per channel over valid frames
+        assert abs(ex.features.mean()) < 0.1
+        # cache hit on second construction
+        pipe2 = pipe_cls(cfg, split="train", featurize_batch=2)
+        np.testing.assert_allclose(pipe2[0].features, ex.features)
+
+    def test_feeds_training_batcher(self, fixture_corpus):
+        from qasr.data.batching import epoch_iterator
+
+        cfg = get_config("timit_qcnn").override(
+            **{"data.data_dir": fixture_corpus, "data.batch_size": 2}
+        )
+        pipe_cls = __import__(
+            "qasr.data.pipeline", fromlist=["TimitFeaturePipeline"]
+        ).TimitFeaturePipeline
+        pipe = pipe_cls(cfg, split="train")
+        batch = next(iter(epoch_iterator(pipe, cfg.data, train=False)))
+        assert batch["features"].shape[0] == 2
+        assert batch["features"].shape[2:] == (40, 4)
+        assert (batch["label_lengths"] == 4).all()
+
+
+class TestLibriSpeech:
+    @pytest.fixture()
+    def libri_corpus(self, tmp_path):
+        rng = np.random.RandomState(7)
+        d = tmp_path / "train-clean-100" / "19" / "198"
+        d.mkdir(parents=True)
+        with open(d / "19-198.trans.txt", "w") as f:
+            for i, text in enumerate(["HELLO WORLD", "IT'S A TEST"]):
+                utt = f"19-198-{i:04d}"
+                wav = (rng.randn(9000) * 3000).astype(np.int16)
+                _write_riff(str(d / f"{utt}.wav"), wav)
+                f.write(f"{utt} {text}\n")
+        return str(tmp_path)
+
+    def test_char_vocab_roundtrip(self):
+        from qasr.data.librispeech import ids_to_text, text_to_ids, VOCAB_SIZE
+
+        ids = text_to_ids("It's a test!")
+        assert ids_to_text(ids) == "IT'S A TEST"  # '!' dropped
+        assert VOCAB_SIZE == 29
+        assert ids.min() >= 1
+
+    def test_dataset_and_pipeline(self, libri_corpus):
+        from qasr.data.librispeech import LibriSpeechDataset
+        from qasr.data.pipeline import LibriFeaturePipeline
+        from qasr.configs import get_config
+
+        ds = LibriSpeechDataset(libri_corpus, "train-clean-100")
+        assert len(ds) == 2
+        wav, ids = ds.load(0)
+        assert len(ids) == len("HELLO WORLD")
+
+        cfg = get_config("librispeech_qlstm").override(
+            **{"data.data_dir": libri_corpus}
+        )
+        pipe = LibriFeaturePipeline(cfg, split="train-clean-100", featurize_batch=2)
+        assert len(pipe) == 2
+        assert pipe[0].features.shape[1:] == (40, 4)
+
+    def test_missing_root(self):
+        from qasr.data.librispeech import LibriSpeechDataset
+
+        with pytest.raises(FileNotFoundError, match="synthetic"):
+            LibriSpeechDataset("/nonexistent", "train-clean-100")

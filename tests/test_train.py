@@ -146,3 +146,20 @@ class TestNativeScorer:
         hyp = [PHONE_TO_ID["ao"], PHONE_TO_ID["zh"]]
         errs, n = per_counts(ref, hyp, fold=True)
         assert (errs, n) == (0, 2)
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self):
+        cfg = get_config("tiny_synthetic").override(**{"train.num_steps": 5})
+        cfg_r = cfg.override(**{"train.remat_convs": True})
+        ds = SyntheticDataset(vocab=cfg.model.vocab, n_mels=cfg.data.n_mels,
+                              num_examples=8, seed=0)
+        batch = dict(next(iter(epoch_iterator(ds, cfg.data, train=False))))
+        s1 = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
+        s2 = create_train_state(cfg_r, jax.random.PRNGKey(0), batch["features"])
+        _, m1 = make_train_step(cfg)(s1, batch)
+        _, m2 = make_train_step(cfg_r)(s2, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
+        )
