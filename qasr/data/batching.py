@@ -106,3 +106,57 @@ def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):
         seed=seed,
         drop_remainder=train,
     )
+
+
+class BatchStream:
+    """Resumable epoch-shuffled batch stream (SURVEY.md §5: the checkpointed
+    train state includes the data-iterator position).
+
+    State is (epoch, index-within-epoch); `restore()` rebuilds the epoch's
+    deterministic shuffle and fast-forwards, so a resumed run sees exactly the
+    batches the interrupted run would have.
+    """
+
+    def __init__(self, dataset, data_cfg, *, seed: int = 0):
+        self.dataset = dataset
+        self.cfg = data_cfg
+        self.seed = seed
+        self.epoch = 0
+        self.index = 0
+        self._iter = None
+
+    def state(self) -> dict:
+        return {"epoch": self.epoch, "index": self.index}
+
+    def restore(self, state: dict):
+        self.epoch = int(state["epoch"])
+        self.index = 0
+        self._iter = self._make_epoch_iter()
+        for _ in range(int(state["index"])):
+            self._next_raw()
+
+    def _make_epoch_iter(self):
+        return epoch_iterator(
+            self.dataset, self.cfg, seed=self.seed + self.epoch, train=True
+        )
+
+    def _next_raw(self):
+        if self._iter is None:
+            self._iter = self._make_epoch_iter()
+        try:
+            batch = next(self._iter)
+            self.index += 1
+            return batch
+        except StopIteration:
+            self.epoch += 1
+            self.index = 0
+            self._iter = self._make_epoch_iter()
+            batch = next(self._iter)
+            self.index = 1
+            return batch
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._next_raw()

@@ -34,8 +34,12 @@ class CheckpointManager:
             with open(os.path.join(self.dir, "config.json"), "w") as f:
                 f.write(cfg.to_json())
 
-    def save(self, step: int, state, *, dev_per: float | None = None):
+    def save(self, step: int, state, *, dev_per: float | None = None,
+             data_state: dict | None = None):
         self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if data_state is not None and jax.process_index() == 0:
+            with open(os.path.join(self.dir, f"data_state_{step}.json"), "w") as f:
+                json.dump(data_state, f)
         if dev_per is not None and jax.process_index() == 0:
             best_path = os.path.join(self.dir, "best.json")
             best = {"step": -1, "dev_per": float("inf")}
@@ -62,3 +66,10 @@ class CheckpointManager:
     def restore(self, step: int, target_state):
         """Restore into the structure/shardings of `target_state`."""
         return self.mgr.restore(step, args=ocp.args.StandardRestore(target_state))
+
+    def restore_data_state(self, step: int) -> dict | None:
+        path = os.path.join(self.dir, f"data_state_{step}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from qasr.configs import Config
-from qasr.data.batching import epoch_iterator
+from qasr.data.batching import BatchStream, epoch_iterator
 from qasr.data.synthetic import SyntheticDataset
 from qasr.decode.scoring import batch_per
 from qasr.train.checkpoint import CheckpointManager
@@ -59,11 +59,6 @@ def build_mesh_from_config(cfg: Config):
     return make_mesh(n // n_model, n_model)
 
 
-def _batch_stream(dataset, cfg: Config, seed: int):
-    epoch = 0
-    while True:
-        yield from epoch_iterator(dataset, cfg.data, seed=seed + epoch, train=True)
-        epoch += 1
 
 
 def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
@@ -77,13 +72,18 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     rng = jax.random.PRNGKey(cfg.train.seed)
     mesh = build_mesh_from_config(cfg)
     dataset = build_dataset(cfg, seed=cfg.train.seed)
-    stream = _batch_stream(dataset, cfg, cfg.train.seed)
+    stream = BatchStream(dataset, cfg.data, seed=cfg.train.seed)
     first = next(stream)
 
     state, shardings = create_sharded_train_state(cfg, rng, first["features"], mesh)
     ckpt = CheckpointManager(cfg)
     if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(ckpt.latest_step(), state)
+        last = ckpt.latest_step()
+        state = ckpt.restore(last, state)
+        data_state = ckpt.restore_data_state(last)
+        if data_state is not None:
+            stream.restore(data_state)
+            first = next(stream)
         print(f"[qasr] resumed from step {int(state.step)}")
 
     train_step = make_sharded_train_step(cfg, mesh, shardings, first)
@@ -118,9 +118,9 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
         if (step + 1) % cfg.train.eval_every == 0:
             dev = evaluate(cfg, state.params, dataset, eval_step)
             writer.write(step + 1, {"dev_" + k: v for k, v in dev.items()})
-            ckpt.save(step + 1, state, dev_per=dev.get("per"))
+            ckpt.save(step + 1, state, dev_per=dev.get("per"), data_state=stream.state())
         elif (step + 1) % cfg.train.checkpoint_every == 0:
-            ckpt.save(step + 1, state)
+            ckpt.save(step + 1, state, data_state=stream.state())
         batch = next(stream)
 
     ckpt.wait()

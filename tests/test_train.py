@@ -163,3 +163,22 @@ class TestRemat:
         np.testing.assert_allclose(
             float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
         )
+
+
+class TestBatchStream:
+    def test_resume_reproduces_exact_batches(self):
+        from qasr.data.batching import BatchStream
+
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=32, seed=0)
+        cfg = get_config("tiny_synthetic").data
+        a = BatchStream(ds, cfg, seed=5)
+        consumed = [next(a) for _ in range(9)]  # crosses an epoch boundary
+        saved = a.state()
+        next_batches = [next(a) for _ in range(3)]
+
+        b = BatchStream(ds, cfg, seed=5)
+        b.restore(saved)
+        for want in next_batches:
+            got = next(b)
+            np.testing.assert_array_equal(got["features"], want["features"])
+            np.testing.assert_array_equal(got["labels"], want["labels"])
