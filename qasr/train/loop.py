@@ -72,6 +72,18 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     rng = jax.random.PRNGKey(cfg.train.seed)
     mesh = build_mesh_from_config(cfg)
     dataset = build_dataset(cfg, seed=cfg.train.seed)
+    # model selection runs on the dev split where the corpus defines one
+    # (TIMIT protocol, SURVEY.md §2a C9); synthetic falls back to train data
+    try:
+        eval_dataset = (
+            build_dataset(cfg, split="dev")
+            if cfg.data.dataset == "timit"
+            else build_dataset(cfg, split="dev-clean")
+            if cfg.data.dataset == "librispeech"
+            else dataset
+        )
+    except FileNotFoundError:
+        eval_dataset = dataset
     stream = BatchStream(dataset, cfg.data, seed=cfg.train.seed)
     first = next(stream)
 
@@ -116,7 +128,7 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
             writer.write(step + 1, last_metrics)
             t_window, frames_window = now, 0
         if (step + 1) % cfg.train.eval_every == 0:
-            dev = evaluate(cfg, state.params, dataset, eval_step)
+            dev = evaluate(cfg, state.params, eval_dataset, eval_step)
             writer.write(step + 1, {"dev_" + k: v for k, v in dev.items()})
             ckpt.save(step + 1, state, dev_per=dev.get("per"), data_state=stream.state())
         elif (step + 1) % cfg.train.checkpoint_every == 0:

@@ -101,3 +101,54 @@ class TestQConvPallas:
         g1 = jax.grad(lambda w: jnp.sum(qconv2d_pallas(x, w) ** 2))(w)
         g2 = jax.grad(lambda w: jnp.sum(qconv(x, w) ** 2))(w)
         np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)
+
+
+class TestFusedConv:
+    """Halo-tiled direct Pallas conv (qconv_fused.py) vs the XLA block path."""
+
+    @pytest.mark.parametrize(
+        "shape,pad",
+        [
+            ((1, 20, 13, 8, 8), "SAME"),
+            ((2, 16, 9, 4, 4), "VALID"),
+            ((1, 7, 5, 2, 3), "SAME"),      # T not a TT multiple, tiny dims
+            ((1, 33, 15, 8, 12), "SAME"),   # odd T, F crossing sublane pad
+        ],
+    )
+    def test_matches_block_path(self, shape, pad):
+        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+
+        b, t, f, cin, cout = shape
+        kx, kw = jax.random.split(jax.random.PRNGKey(sum(shape)))
+        x = _rand(kx, (b, t, f, 4 * cin))
+        w = _rand(kw, (4, 3, 3, cin, cout))
+        got = qconv2d_fused(x, w, pad)
+        want = qconv(x, w, padding=pad)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_5x5_kernel(self):
+        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x = _rand(kx, (1, 18, 11, 4 * 4))
+        w = _rand(kw, (4, 5, 5, 4, 4))
+        got = qconv2d_fused(x, w, "SAME")
+        want = qconv(x, w, padding="SAME")
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grads_match(self):
+        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(1))
+        x = _rand(kx, (1, 18, 7, 4 * 4))
+        w = _rand(kw, (4, 3, 3, 4, 4))
+        g1 = jax.grad(lambda w: jnp.sum(qconv2d_fused(x, w, "SAME") ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(qconv(x, w) ** 2))(w)
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)
+
+    def test_even_kernel_rejected(self):
+        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+
+        with pytest.raises(ValueError, match="odd"):
+            qconv2d_fused(jnp.ones((1, 8, 5, 4)), jnp.ones((4, 2, 3, 1, 1)), "SAME")

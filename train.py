@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--beam", action="store_true", help="prefix beam search for eval")
+    ap.add_argument("--split", default=None,
+                    help="eval split (timit: dev/core_test/full_test; librispeech: dev-clean/test-clean)")
     ap.add_argument("--list-presets", action="store_true")
     args = ap.parse_args()
 
@@ -56,7 +58,7 @@ def main():
         import numpy as np
         from qasr.data.batching import epoch_iterator
 
-        dataset = build_dataset(cfg)
+        dataset = build_dataset(cfg, split=args.split) if args.split else build_dataset(cfg)
         batch = next(iter(epoch_iterator(dataset, cfg.data, train=False)))
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
         ckpt = CheckpointManager(cfg)
