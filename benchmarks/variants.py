@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Compare quaternion compute-path variants on a full flagship train step.
+
+Times the timit_qcnn training step (fwd+bwd+Adam) for each Hamilton-product
+implementation — XLA block (reference strategy), XLA 10-mult "fast", Pallas
+im2col/fused — plus the equal-feature-map real CNN, using bench.py's
+difference-quotient harness. Use this to pick the preset's default path on
+real hardware.
+
+Usage: python benchmarks/variants.py [--batch 16] [--t 256] [--repeats 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--t", type=int, default=256)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--arms",
+        default="block,fast,pallas,real_cnn",
+        help="comma list from: block,fast,pallas,real_cnn",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/qasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from bench import _Arm, _make_batch, bench_arms
+    from qasr.configs import get_config
+
+    b, t, f = args.batch, args.t, 40
+    base = get_config("timit_qcnn").override(**{"data.batch_size": b})
+    batch = _make_batch(b, t, f, base.model.vocab, 48)
+
+    overrides = {
+        "block": {"model.op_variant": "block"},
+        "fast": {"model.op_variant": "fast"},
+        "pallas": {"model.use_pallas": True},
+        "real_cnn": {"model.arch": "real_cnn"},
+    }
+    arms = {}
+    for name in args.arms.split(","):
+        print(f"building arm {name} ...", file=sys.stderr)
+        arms[name] = _Arm(base.override(**overrides[name]), batch)
+
+    times = bench_arms(arms, repeats=args.repeats)
+    audio_s = b * t * 0.010
+    ref = times.get("real_cnn")
+    out = {
+        name: {
+            "s_per_step": round(dt, 5),
+            "audio_s_per_s": round(audio_s / dt, 1),
+            **({"vs_real_cnn": round(ref / dt, 3)} if ref else {}),
+        }
+        for name, dt in times.items()
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,16 @@ HAMILTON_SIGN = np.array(
     dtype=np.int32,
 )
 
+# E[c, a, b] = sign[a, b] * 1{comp[a, b] == c}: W_big's (a,b) block is
+# sum_c E[c,a,b] * w[c], which lets the whole 4x4 block expansion run as one
+# tiny tensor contraction already laid out in block order (no transpose).
+HAMILTON_E = np.zeros((4, 4, 4), np.float32)
+for _a in range(4):
+    for _b in range(4):
+        HAMILTON_E[int(HAMILTON_COMP[_a, _b]), _a, _b] = float(
+            HAMILTON_SIGN[_a, _b]
+        )
+
 
 def split_components(x: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Split packed ``[..., 4C]`` into four ``[..., C]`` components (r,i,j,k)."""
@@ -85,16 +95,27 @@ def hamilton_expand(w: jnp.ndarray, conjugate: bool = False) -> jnp.ndarray:
     """
     if conjugate:
         w = jnp.concatenate([w[:1], -w[1:]], axis=0)
-    rows = []
-    for a in range(4):
-        cols = []
-        for b in range(4):
-            comp = int(HAMILTON_COMP[a, b])
-            sign = int(HAMILTON_SIGN[a, b])
-            blk = w[comp] if sign > 0 else -w[comp]
-            cols.append(blk)
-        rows.append(jnp.concatenate(cols, axis=-1))  # along Cout
-    return jnp.concatenate(rows, axis=-2)  # along Cin
+    out_shape = (*w.shape[1:-2], 4 * w.shape[-2], 4 * w.shape[-1])
+    if w.dtype == jnp.bfloat16:
+        # Contraction form: the einsum output is already in block order
+        # ([*sp, a, K, b, N]) so no transpose is needed, and its backward is a
+        # clean contraction too (no scatter). The MXU rounds the 0/±1
+        # selection to bf16 — free here since w is already bf16. Measured
+        # fastest per train step on v5e (vs 16-concat and gather+transpose).
+        wb = jnp.einsum(
+            "cab,c...kn->...akbn", jnp.asarray(HAMILTON_E, w.dtype), w
+        )
+        return wb.reshape(out_shape)
+    # f32/f64: exact selection via gather + signed scale + transpose.
+    n_sp = w.ndim - 3
+    wb = jnp.take(w, jnp.asarray(HAMILTON_COMP.reshape(-1)), axis=0)
+    wb = wb.reshape(4, 4, *w.shape[1:])
+    sign = jnp.asarray(HAMILTON_SIGN, w.dtype).reshape(4, 4, *([1] * (w.ndim - 1)))
+    wb = wb * sign
+    # [a, b, *sp, K, N] -> [*sp, a, K, b, N] -> [*sp, 4K, 4N]
+    perm = tuple(range(2, 2 + n_sp)) + (0, 2 + n_sp, 1, 3 + n_sp)
+    wb = jnp.transpose(wb, perm)
+    return wb.reshape(out_shape)
 
 
 # ---------------------------------------------------------------------------
