@@ -30,7 +30,7 @@ class ModelConfig:
     bidirectional: bool = True
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False
-    op_variant: str = "block"       # block | fast (10-mult Hamilton scheme)
+    op_variant: str = "auto"        # auto | block | fast | pallas (dense only)
 
 
 @dataclass(frozen=True)

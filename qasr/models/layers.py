@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from qasr.ops.initializers import quaternion_initializer
@@ -45,7 +46,8 @@ class QConv(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
-    variant: str = "block"  # block | fast (10-mult scheme)
+    variant: str = "auto"  # auto | block | fast ("auto" = block: measured
+    # fastest for convs at every shape tried on v5e — see benchmarks/)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +96,7 @@ class QDense(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
-    variant: str = "block"  # block | fast (10-mult scheme)
+    variant: str = "auto"  # auto | block | fast | pallas
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -108,10 +110,20 @@ class QDense(nn.Module):
         )
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
-        if self.use_pallas:
+        impl = self.variant
+        if impl == "auto":
+            # "block" wins the full train step on v5e: the Pallas 10-product
+            # qgemm is faster in isolation at K <= 512, but its packed<->
+            # stacked activation transposes on the dx path cost more than the
+            # FLOP cut saves once the layer sits inside a real model
+            # (benchmarks/variants.py three-way A/B: block 11.26 ms/step,
+            # pallas-dense 11.75, real-CNN 11.11). Route explicitly via
+            # variant="pallas" to force the kernel.
+            impl = "block"
+        if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))
         else:
-            dense_fn = qdense_fast if self.variant == "fast" else qdense
+            dense_fn = qdense_fast if impl == "fast" else qdense
             y = dense_fn(x, kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))

@@ -153,6 +153,101 @@ def _pick_tiles(m, k, n, itemsize):
     return tm, tn, tk
 
 
+def _qgemm_dw_kernel(x_ref, dy_ref, o_ref, acc_ref):
+    # x_ref: [4, TM, TK]; dy_ref: [4, TM, TN]; o/acc_ref: [4, TK, TN].
+    # dw[a] = sum_p W_COMBO[p, a] * (xc_p^T @ dyc_p) with the combos formed
+    # on the VPU in VMEM — the 10-product adjoint of the forward kernel, so
+    # the weight gradient also runs at 10/16 of the block-GEMM FLOPs.
+    m = pl.program_id(2)
+
+    @pl.when(m == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for p in range(10):
+        xt = _X_TERMS[p]
+        lhs = x_ref[xt[0]]
+        if len(xt) == 2:
+            lhs = lhs + x_ref[xt[1]]
+        ot = _OUT_TERMS_OF_P[p]
+        rhs = dy_ref[ot[0][0]] if ot[0][1] > 0 else -dy_ref[ot[0][0]]
+        for b, sign in ot[1:]:
+            rhs = rhs + dy_ref[b] if sign > 0 else rhs - dy_ref[b]
+        prod = jax.lax.dot_general(
+            lhs,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for a, sign in _W_TERMS_OF_P[p]:
+            acc_ref[a] = acc_ref[a] + prod if sign > 0 else acc_ref[a] - prod
+
+    @pl.when(m == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+# For product p: the (out-component b, sign) pairs whose cotangents combine
+# into dyc_p (= OUT_COMBO column p), and the (weight-component a, sign) pairs
+# dWc_p scatters into (= W_COMBO row p).
+_OUT_TERMS_OF_P = [
+    [(b, int(OUT_COMBO[b, p])) for b in range(4) if OUT_COMBO[b, p] != 0]
+    for p in range(10)
+]
+_W_TERMS_OF_P = [
+    [(a, int(W_COMBO[p, a])) for a in range(4) if W_COMBO[p, a] != 0]
+    for p in range(10)
+]
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk"))
+def _qgemm_dw_raw(x4, dy4, *, tm, tn, tk):
+    """x4: [4, M, K]; dy4: [4, M, N] -> dw [4, K, N] f32; dims pre-padded."""
+    _, m, k = x4.shape
+    n = dy4.shape[2]
+    grid = (k // tk, n // tn, m // tm)
+    return pl.pallas_call(
+        _qgemm_dw_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (4, tm, tk), lambda i, j, mm: (0, mm, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (4, tm, tn), lambda i, j, mm: (0, mm, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, tk, tn), lambda i, j, mm: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, k, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, tk, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 10 * m * k * n,
+            bytes_accessed=x4.size * x4.dtype.itemsize * (n // tn)
+            + dy4.size * dy4.dtype.itemsize * (k // tk)
+            + 4 * k * n * 4,
+            transcendentals=0,
+        ),
+    )(x4, dy4)
+
+
+def _dw_pallas(x4, dy4):
+    """10-product Pallas weight gradient; shapes as _dw_einsum."""
+    _, m, k = x4.shape
+    n = dy4.shape[2]
+    tm = min(_round_up(m, 8), 512)
+    tk = min(_round_up(k, _LANE), 256)
+    tn = min(_round_up(n, _LANE), 256)
+    x4p = _pad_dim(_pad_dim(x4, 1, tm), 2, tk)
+    dy4p = _pad_dim(_pad_dim(dy4, 1, tm), 2, tn)
+    out = _qgemm_dw_raw(x4p, dy4p, tm=tm, tn=tn, tk=tk)
+    return out[:, :k, :n]
+
+
 # T[a, b, c] = sign[a, b] * 1{comp[a, b] == c} — used by the dw einsum.
 _DW_T = np.zeros((4, 4, 4), np.float32)
 for _a in range(4):
@@ -202,7 +297,12 @@ def _qgemm_stacked_fwd(x4, w):
 def _qgemm_stacked_bwd(res, dy4):
     x4, w = res
     dx4 = _qgemm_stacked_impl(dy4, _conj_transpose_w(w).astype(w.dtype))
-    dw = _dw_einsum(x4, dy4).astype(w.dtype)
+    # Pallas 10-product dw when the contraction (M) is large enough to feed
+    # the MXU; the XLA 16-product einsum otherwise (tiny M = cheap anyway).
+    if x4.shape[1] >= 256:
+        dw = _dw_pallas(x4, dy4).astype(w.dtype)
+    else:
+        dw = _dw_einsum(x4, dy4).astype(w.dtype)
     return dx4, dw
 
 
