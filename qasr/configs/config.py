@@ -44,6 +44,7 @@ class DataConfig:
     batch_size: int = 8            # global batch (across all DP shards)
     num_synthetic: int = 64        # synthetic dataset size
     bucket_sizes: tuple[int, ...] = (64, 128, 256)
+    prefetch_depth: int = 2        # background host-side batch prefetch queue
 
 
 @dataclass(frozen=True)

@@ -108,6 +108,51 @@ def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):
     )
 
 
+class Prefetcher:
+    """Background-thread batch prefetch (bounded queue).
+
+    Overlaps host-side feature prep / padding with device compute — the
+    reference's generator blocks the train loop between steps (Keras
+    `fit_generator`; SURVEY.md §3.1). Yields ``(batch, stream_state)`` pairs
+    where ``stream_state`` is the BatchStream state *after* producing that
+    batch, so checkpoint/resume stays exact under prefetch (the state saved
+    with a step is the state of the batch actually trained on).
+    """
+
+    def __init__(self, stream: "BatchStream", *, depth: int = 2):
+        import queue
+        import threading
+
+        self._stream = stream
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._fill, name="qasr-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self):
+        import queue
+
+        while not self._stop.is_set():
+            item = (next(self._stream), self._stream.state())
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
 class BatchStream:
     """Resumable epoch-shuffled batch stream (SURVEY.md §5: the checkpointed
     train state includes the data-iterator position).

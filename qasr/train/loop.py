@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from qasr.configs import Config
-from qasr.data.batching import BatchStream, epoch_iterator
+from qasr.data.batching import BatchStream, Prefetcher, epoch_iterator
 from qasr.data.synthetic import SyntheticDataset
 from qasr.decode.scoring import batch_per
 from qasr.train.checkpoint import CheckpointManager
@@ -109,31 +109,39 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
         f"mesh={dict(mesh.shape)} devices={n_chips}"
     )
 
-    batch = first
+    # Background prefetch from here on: host batch prep overlaps device
+    # compute, and nothing inside the hot loop forces a device fetch (frames
+    # are counted from the host-side batch; loss/grad-norm are only pulled at
+    # log boundaries), so steps pipeline on the dispatch queue.
+    prefetch = Prefetcher(stream, depth=cfg.data.prefetch_depth)
+    batch, batch_state = first, stream.state()
     last_metrics = {}
     t_window = time.perf_counter()
     frames_window = 0
     start_step = int(state.step)
-    for step in range(start_step, cfg.train.num_steps):
-        state, m = train_step(state, batch)
-        frames_window += int(m["frames"])
-        if (step + 1) % cfg.train.log_every == 0:
-            now = time.perf_counter()
-            audio_s_per_s = frames_window * frame_s / max(now - t_window, 1e-9)
-            last_metrics = {
-                "loss": float(m["loss"]),
-                "grad_norm": float(m["grad_norm"]),
-                "audio_s_per_s_per_chip": audio_s_per_s / n_chips,
-            }
-            writer.write(step + 1, last_metrics)
-            t_window, frames_window = now, 0
-        if (step + 1) % cfg.train.eval_every == 0:
-            dev = evaluate(cfg, state.params, eval_dataset, eval_step)
-            writer.write(step + 1, {"dev_" + k: v for k, v in dev.items()})
-            ckpt.save(step + 1, state, dev_per=dev.get("per"), data_state=stream.state())
-        elif (step + 1) % cfg.train.checkpoint_every == 0:
-            ckpt.save(step + 1, state, data_state=stream.state())
-        batch = next(stream)
+    try:
+        for step in range(start_step, cfg.train.num_steps):
+            state, m = train_step(state, batch)
+            frames_window += int(np.sum(batch["feature_lengths"]))
+            if (step + 1) % cfg.train.log_every == 0:
+                now = time.perf_counter()
+                audio_s_per_s = frames_window * frame_s / max(now - t_window, 1e-9)
+                last_metrics = {
+                    "loss": float(m["loss"]),
+                    "grad_norm": float(m["grad_norm"]),
+                    "audio_s_per_s_per_chip": audio_s_per_s / n_chips,
+                }
+                writer.write(step + 1, last_metrics)
+                t_window, frames_window = now, 0
+            if (step + 1) % cfg.train.eval_every == 0:
+                dev = evaluate(cfg, state.params, eval_dataset, eval_step)
+                writer.write(step + 1, {"dev_" + k: v for k, v in dev.items()})
+                ckpt.save(step + 1, state, dev_per=dev.get("per"), data_state=batch_state)
+            elif (step + 1) % cfg.train.checkpoint_every == 0:
+                ckpt.save(step + 1, state, data_state=batch_state)
+            batch, batch_state = next(prefetch)
+    finally:
+        prefetch.close()
 
     ckpt.wait()
     writer.close()

@@ -182,3 +182,27 @@ class TestBatchStream:
             got = next(b)
             np.testing.assert_array_equal(got["features"], want["features"])
             np.testing.assert_array_equal(got["labels"], want["labels"])
+
+    def test_prefetcher_pairs_batches_with_exact_state(self):
+        """Under background prefetch, the state yielded WITH a batch must be
+        the stream position just after that batch, so a checkpoint written
+        while prefetch runs ahead resumes on the very next batch."""
+        from qasr.data.batching import BatchStream, Prefetcher
+
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=32, seed=0)
+        cfg = get_config("tiny_synthetic").data
+        stream = BatchStream(ds, cfg, seed=5)
+        pf = Prefetcher(stream, depth=2)
+        try:
+            pulled = [next(pf) for _ in range(7)]
+        finally:
+            pf.close()
+
+        for i in range(len(pulled) - 1):
+            _, state = pulled[i]
+            fresh = BatchStream(ds, cfg, seed=5)
+            fresh.restore(state)
+            want = pulled[i + 1][0]
+            got = next(fresh)
+            np.testing.assert_array_equal(got["features"], want["features"])
+            np.testing.assert_array_equal(got["labels"], want["labels"])
