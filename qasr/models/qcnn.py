@@ -38,7 +38,13 @@ class QCNNEncoder(nn.Module):
     variant: str = "block"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        lengths: jnp.ndarray | None = None,  # frame-local model: unused
+    ) -> jnp.ndarray:
         if x.ndim != 4:
             raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
         for i, feats in enumerate(self.conv_features):
@@ -100,7 +106,13 @@ class RealCNNEncoder(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        lengths: jnp.ndarray | None = None,  # frame-local model: unused
+    ) -> jnp.ndarray:
         for i, feats in enumerate(self.conv_features):
             x = nn.Conv(
                 features=4 * feats,

@@ -7,9 +7,13 @@ Hamilton-product quaternion dense ops; gate nonlinearities and the cell/hidden
 elementwise products are *split* (component-wise), per the paper.
 
 TPU-first structure: the input projections for all timesteps run as one big
-quaternion GEMM outside the recurrence (MXU-batched); `lax.scan` carries only
-the hidden projection + pointwise cell update. Bidirectional = forward scan +
-time-reversed scan, concatenated in quaternion-channel space.
+quaternion GEMM outside the recurrence; the recurrent weights expand to the
+block form once outside the scan; `lax.scan` carries only the hidden matmul +
+pointwise cell update. Bidirectional runs BOTH directions in one fused scan
+(direction axis of 2, backward stream time-flipped) — half the sequential
+scan latency and double the MXU row count per step. Optional ``lengths``
+freeze the state past each utterance's last frame so padding never
+contaminates either direction.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import jax.numpy as jnp
 from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
 from qasr.ops.initializers import quaternion_initializer
 from qasr.ops.qlinalg import qdense
+from qasr.ops.quaternion import hamilton_expand
 
 
 def qchannel_split(x: jnp.ndarray, groups: int) -> tuple[jnp.ndarray, ...]:
@@ -62,53 +67,128 @@ class QLSTMCellParams(nn.Module):
         return wx, wh, bias
 
 
+def _gate_update(z, c, split_groups=4):
+    zi, zf, zo, zg = qchannel_split(z, split_groups)
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    o = jax.nn.sigmoid(zo)
+    g = jnp.tanh(zg)
+    c_new = f * c + i * g              # split products (paper)
+    return o * jnp.tanh(c_new), c_new
+
+
 class QLSTMLayer(nn.Module):
-    """Unidirectional quaternion LSTM over ``[B, T, 4*Cin]`` -> ``[B, T, 4*H]``."""
+    """Unidirectional quaternion LSTM over ``[B, T, 4*Cin]`` -> ``[B, T, 4*H]``.
+
+    ``lengths`` (optional ``[B]``) freezes (h, c) past each utterance's last
+    frame so padded frames never contaminate the state.
+    """
 
     hidden: int
     reverse: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
         b, t, cin4 = x.shape
         cin = cin4 // 4
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         wx, wh, bias = QLSTMCellParams(cin, self.hidden, name="cell")()
-        wx, wh, bias = wx.astype(dtype), wh.astype(dtype), bias.astype(dtype)
+        wx, bias = wx.astype(dtype), bias.astype(dtype)
 
-        # all-timestep input projection: one MXU GEMM (outside the scan)
+        # all-timestep input projection: one MXU GEMM (outside the scan);
+        # the recurrent weights expand ONCE here — never inside the scan
+        # (XLA does not reliably hoist the expansion out of the loop body).
         xz = qdense(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
+        wh_big = hamilton_expand(wh.astype(dtype))  # [4H, 16H]
 
         h0 = jnp.zeros((b, 4 * self.hidden), dtype)
         c0 = jnp.zeros((b, 4 * self.hidden), dtype)
+        t_iota = jnp.arange(t)
+        if self.reverse:
+            t_iota = t_iota[::-1]
 
-        def step(carry, xz_t):
+        def step(carry, inp):
             h, c = carry
-            z = xz_t + qdense(h, wh)
-            zi, zf, zo, zg = qchannel_split(z, 4)
-            i = jax.nn.sigmoid(zi)
-            f = jax.nn.sigmoid(zf)
-            o = jax.nn.sigmoid(zo)
-            g = jnp.tanh(zg)
-            c_new = f * c + i * g          # split products (paper)
-            h_new = o * jnp.tanh(c_new)
+            xz_t, t_idx = inp
+            z = xz_t + h @ wh_big
+            h_new, c_new = _gate_update(z, c)
+            if lengths is not None:
+                active = (t_idx < lengths)[:, None]
+                h_new = jnp.where(active, h_new, h)
+                c_new = jnp.where(active, c_new, c)
             return (h_new, c_new), h_new
 
-        xs = jnp.moveaxis(xz, 1, 0)  # [T, B, .]
+        xs = (jnp.moveaxis(xz, 1, 0), t_iota)  # [T, B, .]
         (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=self.reverse)
         return jnp.moveaxis(hs, 0, 1)  # [B, T, 4H]
 
 
 class QBiLSTM(nn.Module):
+    """Bidirectional quaternion LSTM as ONE fused scan.
+
+    Both directions run in a single `lax.scan` with a direction axis of 2
+    (the backward stream's inputs are time-flipped, its outputs un-flipped):
+    half the sequential scan latency of two scans, and the per-step recurrent
+    matmul doubles its row count — better MXU occupancy at small B. The
+    recurrent projection is a batched dot against the pre-expanded ``[2, 4H,
+    16H]`` weights.
+    """
+
     hidden: int
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
-        fwd = QLSTMLayer(self.hidden, reverse=False, dtype=self.dtype, name="fwd")(x)
-        bwd = QLSTMLayer(self.hidden, reverse=True, dtype=self.dtype, name="bwd")(x)
+    def __call__(self, x, lengths: jnp.ndarray | None = None):
+        b, t, cin4 = x.shape
+        cin = cin4 // 4
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        wxf, whf, bf = QLSTMCellParams(cin, self.hidden, name="fwd_cell")()
+        wxb, whb, bb = QLSTMCellParams(cin, self.hidden, name="bwd_cell")()
+
+        # both directions' input projections as ONE quaternion GEMM
+        wx_cat = jnp.concatenate([wxf, wxb], axis=-1).astype(dtype)  # [4,cin,8H]
+        z = qdense(x.reshape(b * t, cin4), wx_cat)
+        zf, zb = qchannel_split(z, 2)  # each [B*T, 16H]
+        zf = (zf + bf.astype(dtype)).reshape(b, t, -1)
+        zb = (zb + bb.astype(dtype)).reshape(b, t, -1)
+
+        wh_big = jnp.stack(
+            [hamilton_expand(whf.astype(dtype)), hamilton_expand(whb.astype(dtype))]
+        )  # [2, 4H, 16H]
+
+        # xs: [T, 2, B, 16H]; backward stream time-flipped
+        xs = jnp.stack(
+            [jnp.moveaxis(zf, 1, 0), jnp.moveaxis(zb, 1, 0)[::-1]], axis=1
+        )
+        h0 = jnp.zeros((2, b, 4 * self.hidden), dtype)
+        c0 = jnp.zeros((2, b, 4 * self.hidden), dtype)
+        t_iota = jnp.arange(t)
+
+        def step(carry, inp):
+            h, c = carry
+            xz_t, t_idx = inp
+            proj = jax.lax.dot_general(
+                h,
+                wh_big,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            ).astype(dtype)  # [2, B, 16H]
+            h_new, c_new = _gate_update(xz_t + proj, c)
+            if lengths is not None:
+                # dir 0 walks t forward; dir 1 walks the flipped stream, so
+                # its original frame index is T-1-t
+                active = jnp.stack(
+                    [t_idx < lengths, (t - 1 - t_idx) < lengths]
+                )[:, :, None]  # [2, B, 1]
+                h_new = jnp.where(active, h_new, h)
+                c_new = jnp.where(active, c_new, c)
+            return (h_new, c_new), h_new
+
+        (_, _), hs = jax.lax.scan(step, (h0, c0), (xs, t_iota), unroll=4)  # [T, 2, B, 4H]
+        fwd = jnp.moveaxis(hs[:, 0], 0, 1)
+        bwd = jnp.moveaxis(hs[::-1, 1], 0, 1)
         return qchannel_concat([fwd, bwd])
 
 
@@ -129,7 +209,13 @@ class QLSTMEncoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        lengths: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         if x.ndim != 4:
             raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
         for i, feats in enumerate(self.conv_features):
@@ -149,9 +235,13 @@ class QLSTMEncoder(nn.Module):
 
         for i in range(self.lstm_layers):
             if self.bidirectional:
-                x = QBiLSTM(self.lstm_features, dtype=self.dtype, name=f"qbilstm_{i}")(x)
+                x = QBiLSTM(self.lstm_features, dtype=self.dtype, name=f"qbilstm_{i}")(
+                    x, lengths
+                )
             else:
-                x = QLSTMLayer(self.lstm_features, dtype=self.dtype, name=f"qlstm_{i}")(x)
+                x = QLSTMLayer(self.lstm_features, dtype=self.dtype, name=f"qlstm_{i}")(
+                    x, lengths
+                )
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         for i, feats in enumerate(self.dense_features):

@@ -162,7 +162,12 @@ def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> 
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         out = eval_step(params, batch)
         if beam:
-            logits = model.apply({"params": params}, batch["features"], train=False)
+            logits = model.apply(
+                {"params": params},
+                batch["features"],
+                train=False,
+                lengths=batch["feature_lengths"],
+            )
             seq, lens, _ = ctc_beam_search_decode(
                 logits,
                 batch["feature_lengths"],

@@ -23,9 +23,13 @@ from qasr.train.state import TrainState, build_model, build_optimizer
 def make_loss_fn(cfg: Config, model) -> Callable:
     blank = cfg.decode.blank_id
 
-    def fwd_train(params, features, dropout_rng):
+    def fwd_train(params, features, lengths, dropout_rng):
         return model.apply(
-            {"params": params}, features, train=True, rngs={"dropout": dropout_rng}
+            {"params": params},
+            features,
+            train=True,
+            lengths=lengths,
+            rngs={"dropout": dropout_rng},
         )
 
     if cfg.train.remat_convs:
@@ -35,9 +39,16 @@ def make_loss_fn(cfg: Config, model) -> Callable:
 
     def loss_fn(params, batch, dropout_rng, train: bool):
         if train:
-            logits = fwd_train(params, batch["features"], dropout_rng)
+            logits = fwd_train(
+                params, batch["features"], batch["feature_lengths"], dropout_rng
+            )
         else:
-            logits = model.apply({"params": params}, batch["features"], train=False)
+            logits = model.apply(
+                {"params": params},
+                batch["features"],
+                train=False,
+                lengths=batch["feature_lengths"],
+            )
         losses = ctc_loss(
             logits,
             batch["labels"],

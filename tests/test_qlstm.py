@@ -119,3 +119,47 @@ class TestQLSTMEncoder:
             params = optax.apply_updates(params, upd)
         l_end = loss_fn(params)
         assert float(l_end) < float(l0), (float(l0), float(l_end))
+
+
+class TestLengthMasking:
+    def test_bilstm_padded_matches_truncated(self):
+        """With lengths passed, a padded utterance's valid frames must equal
+        running the same utterance unpadded — i.e. the backward direction
+        never sees pad frames (and the forward state is never polluted)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from qasr.models.qlstm import QBiLSTM
+
+        b, t_full, t_valid, h = 2, 12, 7, 3
+        x_full = jax.random.normal(jax.random.PRNGKey(0), (b, t_full, 4 * 5))
+        x_full = x_full.at[:, t_valid:].set(0.0)
+        lengths = jnp.full((b,), t_valid, jnp.int32)
+
+        layer = QBiLSTM(hidden=h)
+        params = layer.init(jax.random.PRNGKey(1), x_full, lengths)
+        y_pad = layer.apply(params, x_full, lengths)
+        y_cut = layer.apply(params, x_full[:, :t_valid], jnp.full((b,), t_valid))
+        np.testing.assert_allclose(
+            np.asarray(y_pad[:, :t_valid]), np.asarray(y_cut), rtol=2e-5, atol=2e-5
+        )
+
+    def test_unidirectional_masking_freezes_state(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from qasr.models.qlstm import QLSTMLayer
+
+        b, t_full, t_valid, h = 2, 10, 6, 3
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t_full, 4 * 4))
+        lengths = jnp.full((b,), t_valid, jnp.int32)
+        layer = QLSTMLayer(hidden=h)
+        params = layer.init(jax.random.PRNGKey(1), x, lengths)
+        y = layer.apply(params, x, lengths)
+        # frozen state: every frame past length-1 repeats the last valid h
+        for tt in range(t_valid, t_full):
+            np.testing.assert_allclose(
+                np.asarray(y[:, tt]), np.asarray(y[:, t_valid - 1]), rtol=1e-6
+            )
