@@ -231,7 +231,9 @@ PRESETS: dict[str, Config] = {
             dense_features=(1024, 1024, 1024),
             vocab=32,
             compute_dtype="bfloat16",
-            use_pallas=True,
+            # use_pallas=False: the XLA block path measures fastest for convs
+            # at every channel width incl. 256 (benchmarks: block 34.6 ms vs
+            # Pallas im2col 148.7 / fused 46.3 for B32xT512xF20xC256 fwd)
         ),
         data=DataConfig(
             dataset="librispeech", max_frames=2048, max_label_len=512,
