@@ -1,7 +1,9 @@
 """Native (C++) components, built on demand with g++ and loaded via ctypes.
 
-Currently: the batch edit-distance / PER scorer (qasr/native/edit_distance.cpp).
-Import errors degrade gracefully — qasr.decode.scoring falls back to numpy.
+Components: the batch edit-distance / PER scorer (edit_distance.cpp) and the
+host-side CTC prefix beam-search decoder (beam_decode.cpp) that overlaps
+batch decode with device compute. Import errors degrade gracefully —
+qasr.decode falls back to numpy / the on-device JAX beam.
 """
 
 from __future__ import annotations
@@ -14,7 +16,10 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "edit_distance.cpp")
+_SRCS = [
+    os.path.join(_DIR, "edit_distance.cpp"),
+    os.path.join(_DIR, "beam_decode.cpp"),
+]
 _SO = os.path.join(_DIR, "_qasr_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -22,7 +27,9 @@ _lib = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+        + _SRCS
+        + ["-o", _SO],
         check=True,
         capture_output=True,
     )
@@ -33,7 +40,9 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(src) for src in _SRCS
+        ):
             _build()
         lib = ctypes.CDLL(_SO)
         lib.qasr_edit_distance.restype = ctypes.c_int
@@ -55,6 +64,20 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.qasr_ctc_beam_decode.restype = None
+        lib.qasr_ctc_beam_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return lib
 
@@ -75,6 +98,52 @@ def edit_distance_native(ref, hyp) -> int:
             len(h),
         )
     )
+
+
+def ctc_beam_decode_native(
+    logits,
+    lengths,
+    *,
+    beam_width: int = 16,
+    blank_id: int = 0,
+    max_len: int = 128,
+):
+    """Host-side CTC prefix beam search (qasr/native/beam_decode.cpp).
+
+    Same algorithm and merge structure as the on-device
+    ``qasr.decode.ctc_beam_search_decode`` (see that module's docstring), run
+    on CPU threads so batch decode overlaps with device compute.
+
+    Args:
+      logits: ``[B, T, V]`` raw scores (log-softmax applied internally).
+      lengths: ``[B]`` valid frame counts.
+
+    Returns:
+      (sequences ``[B, max_len]`` int32 padded with -1, lengths ``[B]`` int32,
+       best-prefix log-score ``[B]`` float32).
+    """
+    lib = _load()
+    logits = np.ascontiguousarray(logits, dtype=np.float32)
+    lengths = _as_i32(lengths)
+    b, t, v = logits.shape
+    assert v < (1 << 20), "vocab must fit the 20-bit candidate key"
+    out_seqs = np.empty((b, max_len), np.int32)
+    out_lens = np.empty((b,), np.int32)
+    out_scores = np.empty((b,), np.float32)
+    lib.qasr_ctc_beam_decode(
+        logits.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b,
+        t,
+        v,
+        beam_width,
+        blank_id,
+        max_len,
+        out_seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out_seqs, out_lens, out_scores
 
 
 def batch_per_native(refs, ref_lens, hyps, hyp_lens) -> tuple[int, int]:

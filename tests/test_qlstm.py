@@ -112,11 +112,16 @@ class TestQLSTMEncoder:
             lg = m.apply({"params": p}, x, train=False)
             return ctc_loss(lg, labels, jnp.full((4,), 16), jnp.full((4,), 4)).mean()
 
-        l0, g = jax.value_and_grad(loss_fn)(params)
-        for _ in range(10):
+        @jax.jit
+        def step(params, opt):
             l, g = jax.value_and_grad(loss_fn)(params)
             upd, opt = tx.update(g, opt)
-            params = optax.apply_updates(params, upd)
+            return optax.apply_updates(params, upd), opt, l
+
+        l0 = None
+        for _ in range(10):
+            params, opt, l = step(params, opt)
+            l0 = l if l0 is None else l0
         l_end = loss_fn(params)
         assert float(l_end) < float(l0), (float(l0), float(l_end))
 
