@@ -36,6 +36,86 @@ def _logsumexp3(a, b, c):
     return jnp.where(degenerate, LOG_EPS, m_safe + jnp.log(s))
 
 
+def build_lattice(labels, label_lengths, *, blank_id: int):
+    """Blank-interleaved CTC lattice metadata shared by all loss variants.
+
+    Returns (z ``[B, S]`` lattice symbols, can_skip ``[B, S]``, in_lattice
+    ``[B, S]``, s_valid ``[B, 1]``) for S = 2L+1.
+    """
+    b, l = labels.shape
+    s = 2 * l + 1
+    # Blank-interleaved lattice symbols z: [blank, l1, blank, l2, ..., blank]
+    z = jnp.full((b, s), blank_id, dtype=labels.dtype)
+    z = z.at[:, 1::2].set(labels)
+
+    pos = jnp.arange(s)[None, :]  # [1, S]
+    s_valid = 2 * label_lengths[:, None] + 1  # [B, 1]
+    in_lattice = pos < s_valid
+
+    # Skip transition (s-2) allowed when z_s is a label and z_s != z_{s-2}.
+    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
+    can_skip = (z != blank_id) & (z != z_m2) & (pos >= 2)
+    return z, can_skip, in_lattice, s_valid
+
+
+def lattice_emissions(logp, z):
+    """em[b,t,s] = logp[b,t,z[b,s]] as ONE one-hot einsum before the scan.
+
+    A per-step take_along_axis inside the scan lowers to T serialized small
+    gathers (and T scatter-adds in the backward) and dominated the whole train
+    step (~7.5 ms at B16/T256 on v5e); this einsum form is one MXU op forward
+    and one backward (~15x faster end-to-end).
+    """
+    v = logp.shape[-1]
+    zhot = jax.nn.one_hot(z, v, dtype=logp.dtype)  # [B, S, V]
+    return jnp.einsum(
+        "btv,bsv->bts", logp, zhot, precision=lax.Precision.HIGHEST
+    )  # [B, T, S]; HIGHEST keeps f32 fidelity on the MXU (negligible FLOPs)
+
+
+def make_alpha_step(can_skip, in_lattice, logit_lengths):
+    """One frame of the log-space alpha recursion, scan-compatible.
+
+    The carry convention admits a uniform "pre-frame" state: alpha before any
+    frame is one-hot(0) in log space (0 at lattice state 0, LOG_EPS
+    elsewhere); applying the step with frame 0's emissions reproduces the
+    textbook alpha_0. That uniformity is what lets the sequence-parallel
+    chunked scan (qasr.parallel.seq_parallel) carry alpha across shards
+    without special-casing the first chunk.
+    """
+    s = can_skip.shape[1]
+
+    def step(alpha, inputs):
+        emit, t_idx = inputs  # emit: [B, S]
+        a_m1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=LOG_EPS)[:, :s]
+        a_m2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=LOG_EPS)[:, :s]
+        a_m2 = jnp.where(can_skip, a_m2, LOG_EPS)
+        new = _logsumexp3(alpha, a_m1, a_m2) + emit
+        new = jnp.where(in_lattice, new, LOG_EPS)
+        # Past the utterance's last frame, freeze alpha so the final read
+        # is uniform across the batch.
+        active = (t_idx < logit_lengths)[:, None]  # [B, 1]
+        return jnp.where(active, new, alpha), None
+
+    return step
+
+
+def alpha_pre(b: int, s: int) -> jnp.ndarray:
+    """Pre-frame alpha carry: log one-hot at lattice state 0."""
+    return jnp.full((b, s), LOG_EPS, jnp.float32).at[:, 0].set(0.0)
+
+
+def loglik_from_alpha(alpha_final, s_valid, label_lengths):
+    """-log p from the final alpha column: last blank or last label state."""
+    last = jnp.take_along_axis(alpha_final, s_valid - 1, axis=1)[:, 0]
+    second = jnp.take_along_axis(
+        alpha_final, jnp.maximum(s_valid - 2, 0), axis=1
+    )[:, 0]
+    # label_length == 0 edge case: only the all-blank path exists
+    second = jnp.where(label_lengths > 0, second, LOG_EPS)
+    return _logsumexp3(last, second, jnp.full_like(last, LOG_EPS))
+
+
 def ctc_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -58,64 +138,20 @@ def ctc_loss(
     """
     logits = logits.astype(jnp.float32)
     b, t, v = logits.shape
-    l = labels.shape[1]
-    s = 2 * l + 1
+    s = 2 * labels.shape[1] + 1
 
     logp = jax.nn.log_softmax(logits, axis=-1)  # [B, T, V]
+    z, can_skip, in_lattice, s_valid = build_lattice(
+        labels, label_lengths, blank_id=blank_id
+    )
+    em = lattice_emissions(logp, z)  # [B, T, S]
+    step = make_alpha_step(can_skip, in_lattice, logit_lengths)
 
-    # Blank-interleaved lattice symbols z: [blank, l1, blank, l2, ..., blank]
-    z = jnp.full((b, s), blank_id, dtype=labels.dtype)
-    z = z.at[:, 1::2].set(labels)
-
-    pos = jnp.arange(s)[None, :]  # [1, S]
-    s_valid = 2 * label_lengths[:, None] + 1  # [B, 1]
-    in_lattice = pos < s_valid
-
-    # Skip transition (s-2) allowed when z_s is a label and z_s != z_{s-2}.
-    z_m2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s]
-    can_skip = (z != blank_id) & (z != z_m2) & (pos >= 2)
-
-    # Emission scores for every (frame, lattice state) in ONE op before the
-    # scan: em[b,t,s] = logp[b,t,z[b,s]] as a one-hot matmul. A per-step
-    # take_along_axis inside the scan lowers to T serialized small gathers
-    # (and T scatter-adds in the backward) and dominated the whole train step
-    # (~7.5 ms at B16/T256 on v5e); this einsum form is one MXU op forward
-    # and one backward (~15x faster end-to-end).
-    zhot = jax.nn.one_hot(z, v, dtype=logp.dtype)  # [B, S, V]
-    em = jnp.einsum(
-        "btv,bsv->bts", logp, zhot, precision=lax.Precision.HIGHEST
-    )  # [B, T, S]; HIGHEST keeps f32 fidelity on the MXU (negligible FLOPs)
-
-    # alpha_0
-    alpha0 = jnp.where(pos <= 1, em[:, 0], LOG_EPS)
-    alpha0 = jnp.where(in_lattice, alpha0, LOG_EPS)
-
-    def step(alpha, inputs):
-        emit, t_idx = inputs  # emit: [B, S]
-        a_m1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=LOG_EPS)[:, :s]
-        a_m2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=LOG_EPS)[:, :s]
-        a_m2 = jnp.where(can_skip, a_m2, LOG_EPS)
-        new = _logsumexp3(alpha, a_m1, a_m2) + emit
-        new = jnp.where(in_lattice, new, LOG_EPS)
-        # Past the utterance's last frame, freeze alpha so the final read
-        # is uniform across the batch.
-        active = (t_idx < logit_lengths)[:, None]  # [B, 1]
-        return jnp.where(active, new, alpha), None
-
-    xs = (jnp.moveaxis(em[:, 1:], 1, 0), jnp.arange(1, t))
+    xs = (jnp.moveaxis(em, 1, 0), jnp.arange(t))
     # unroll: the per-iteration work is small ([B, S] elementwise), so loop
     # overhead dominates on TPU; unrolling 8 iterations per trip amortizes it
-    alpha_final, _ = lax.scan(step, alpha0, xs, unroll=8)
-
-    # p = alpha[S_b - 1] + alpha[S_b - 2]  (last blank or last label)
-    last = jnp.take_along_axis(alpha_final, s_valid - 1, axis=1)[:, 0]
-    second = jnp.take_along_axis(
-        alpha_final, jnp.maximum(s_valid - 2, 0), axis=1
-    )[:, 0]
-    # label_length == 0 edge case: only the all-blank path exists
-    second = jnp.where(label_lengths > 0, second, LOG_EPS)
-    loglik = _logsumexp3(last, second, jnp.full_like(last, LOG_EPS))
-    return -loglik
+    alpha_final, _ = lax.scan(step, alpha_pre(b, s), xs, unroll=8)
+    return -loglik_from_alpha(alpha_final, s_valid, label_lengths)
 
 
 def ctc_greedy_decode(

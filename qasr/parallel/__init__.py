@@ -20,6 +20,7 @@ from qasr.parallel.train import (
     make_sharded_train_step,
 )
 from qasr.parallel.collectives import aggregate_per, allsum_across_hosts
+from qasr.parallel.seq_parallel import ctc_loss_seq_parallel, qconv2d_seq_parallel
 
 __all__ = [
     "DATA_AXIS",
@@ -39,4 +40,6 @@ __all__ = [
     "make_sharded_eval_step",
     "aggregate_per",
     "allsum_across_hosts",
+    "ctc_loss_seq_parallel",
+    "qconv2d_seq_parallel",
 ]

@@ -1,12 +1,18 @@
-"""Sequence-parallel quaternion convolution — halo exchange over the mesh.
+"""Sequence parallelism: halo-exchange conv + chunked-scan CTC over the mesh.
 
 SURVEY.md §2c P3: for very long utterances the time axis is sharded across
-devices; a 2-D conv with a (kh, kw) kernel then needs only the (kh-1)/2
-boundary frames from each neighbor. This module implements that with
-`shard_map` + `lax.ppermute`: each shard exchanges halo frames with its ring
-neighbors over ICI, masks the global sequence boundaries to the zero-padding
-SAME convolution expects, and runs the ordinary quaternion conv on its local
-chunk. Time stride must be 1 (the CTC topology's invariant in this framework).
+devices. Two ops need cross-shard structure:
+
+* **Convolution** (`qconv2d_seq_parallel`): a 2-D conv with a (kh, kw) kernel
+  needs only the (kh-1)/2 boundary frames from each neighbor — `shard_map` +
+  `lax.ppermute` halo exchange over ICI, with global sequence boundaries
+  masked to the zero-padding SAME convolution expects. Time stride must be 1
+  (the CTC topology's invariant in this framework).
+* **CTC loss** (`ctc_loss_seq_parallel`): the alpha recursion is sequential
+  in time, so the chunked form is a *pipeline*: each shard holds only its
+  local emissions (the memory win — [B, T/n, S] instead of [B, T, S] per
+  device), and the [B, S] alpha column is carried shard-to-shard with
+  `ppermute` (SURVEY.md §5 "blockwise chunked scan (carried alpha)").
 
 The reference has no sequence parallelism of any kind (single device).
 """
@@ -19,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from qasr.ops.qlinalg import qconv
 
@@ -77,3 +83,85 @@ def qconv2d_seq_parallel(
         return y
 
     return _fn(x, w)
+
+
+def ctc_loss_seq_parallel(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """CTC loss with the TIME axis of ``logits`` sharded over ``axis``.
+
+    Blockwise chunked alpha scan (SURVEY.md §5): each shard computes the
+    lattice emissions for its own [B, T/n, S] chunk only — no device ever
+    materializes the full [B, T, S] emission tensor or the full logits, which
+    is the point of time-sharding very long utterances. The [B, S] alpha
+    column is carried between shards over ICI with `ppermute`.
+
+    Because the recursion is inherently sequential in time, the pipeline does
+    n rounds in which exactly one shard's chunk is "live"; total scan work
+    equals the unsharded loss, so this trades no wall-clock win for an n-fold
+    activation-memory win. The uniform pre-frame carry convention
+    (`qasr.ops.ctc.alpha_pre` — applying the step to a log one-hot at state 0
+    reproduces alpha_0) means chunk 0 needs no special casing.
+
+    Args/returns as `qasr.ops.ctc.ctc_loss`; T must divide the axis size.
+    Differentiable (grads flow through ppermute) and parity-tested against
+    the unsharded loss in tests/test_sharding.py.
+    """
+    from qasr.ops.ctc import (
+        alpha_pre,
+        build_lattice,
+        lattice_emissions,
+        loglik_from_alpha,
+        make_alpha_step,
+    )
+
+    n = mesh.shape[axis]
+    b, t, _ = logits.shape
+    s = 2 * labels.shape[1] + 1
+    chunk = t // n
+    if chunk * n != t:
+        raise ValueError(f"T={t} must be divisible by the {axis!r} axis size {n}")
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def _fn(logits_local, labels_f, logit_lengths_f, label_lengths_f):
+        idx = lax.axis_index(axis)
+        logp = jax.nn.log_softmax(logits_local.astype(jnp.float32), axis=-1)
+        z, can_skip, in_lattice, s_valid = build_lattice(
+            labels_f, label_lengths_f, blank_id=blank_id
+        )
+        em = lattice_emissions(logp, z)  # [B, T/n, S] — local chunk only
+        step = make_alpha_step(can_skip, in_lattice, logit_lengths_f)
+        t0 = idx * chunk  # global frame index of this shard's first frame
+        xs = (jnp.moveaxis(em, 1, 0), t0 + jnp.arange(chunk))
+
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+
+        def stage(k, alpha):
+            # All shards run the scan SPMD-uniformly; only shard k's result
+            # is the real carried alpha, everyone else's is discarded.
+            out, _ = lax.scan(step, alpha, xs, unroll=8)
+            alpha = jnp.where(idx == k, out, alpha)
+            # Hand shard k's final alpha to shard k+1 (ring; the last
+            # iteration wraps it around to shard 0 for the readout).
+            return lax.ppermute(alpha, axis, perm=fwd)
+
+        alpha = lax.fori_loop(0, n, stage, alpha_pre(b, s))
+        # After n stages the final alpha (from shard n-1) sits on shard 0.
+        loglik = loglik_from_alpha(alpha, s_valid, label_lengths_f)
+        loss = jnp.where(idx == 0, -loglik, 0.0)
+        return lax.psum(loss, axis)
+
+    return _fn(logits, labels, logit_lengths, label_lengths)

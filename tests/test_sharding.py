@@ -189,3 +189,48 @@ class TestSeqParallelConv:
             qconv2d_seq_parallel(
                 jnp.ones((1, 8, 4, 4)), jnp.ones((4, 2, 3, 1, 1)), mesh
             )
+
+
+class TestSeqParallelCTC:
+    """Chunked-scan CTC with time-sharded logits vs the unsharded loss."""
+
+    def _data(self, b=4, t=64, v=13, l=9, seed=0):
+        rng = np.random.RandomState(seed)
+        logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, v, size=(b, l)).astype(np.int32))
+        logit_lengths = jnp.asarray([t, t - 7, t // 2, 11], np.int32)
+        label_lengths = jnp.asarray([l, l - 3, 4, 1], np.int32)
+        return logits, labels, logit_lengths, label_lengths
+
+    def test_matches_unsharded_loss(self):
+        from qasr.ops.ctc import ctc_loss
+        from qasr.parallel.seq_parallel import ctc_loss_seq_parallel
+
+        mesh = make_mesh(8, 1)
+        args = self._data()
+        ref = ctc_loss(*args)
+        got = ctc_loss_seq_parallel(*args, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+    def test_grads_match(self):
+        from qasr.ops.ctc import ctc_loss
+        from qasr.parallel.seq_parallel import ctc_loss_seq_parallel
+
+        mesh = make_mesh(4, 2)  # time sharded over "data"=4, model axis idle
+        logits, labels, ll, tl = self._data(t=32)
+
+        g_ref = jax.grad(lambda x: ctc_loss(x, labels, ll, tl).sum())(logits)
+        g_sp = jax.grad(
+            lambda x: ctc_loss_seq_parallel(x, labels, ll, tl, mesh).sum()
+        )(logits)
+        np.testing.assert_allclose(
+            np.asarray(g_sp), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+        )
+
+    def test_indivisible_t_rejected(self):
+        from qasr.parallel.seq_parallel import ctc_loss_seq_parallel
+
+        mesh = make_mesh(8, 1)
+        logits, labels, ll, tl = self._data(t=60)
+        with pytest.raises(ValueError, match="divisible"):
+            ctc_loss_seq_parallel(logits, labels, ll, tl, mesh)
