@@ -134,7 +134,7 @@ def ctc_loss_seq_parallel(
         mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def _fn(logits_local, labels_f, logit_lengths_f, label_lengths_f):
         idx = lax.axis_index(axis)
