@@ -16,6 +16,7 @@ from qasr.parallel.sharding import (
 )
 from qasr.parallel.train import (
     create_sharded_train_state,
+    make_sharded_beam_decode_step,
     make_sharded_eval_step,
     make_sharded_train_step,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "create_sharded_train_state",
     "make_sharded_train_step",
     "make_sharded_eval_step",
+    "make_sharded_beam_decode_step",
     "aggregate_per",
     "allsum_across_hosts",
     "ctc_loss_seq_parallel",

@@ -95,3 +95,41 @@ def make_sharded_eval_step(cfg: Config, mesh: Mesh, state_shardings, sample_batc
         return {"loss": loss, "decoded": decoded, "decoded_lengths": dec_lens}
 
     return eval_step
+
+
+def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
+    """DP-sharded prefix beam-search decode (SURVEY.md §3.4, §2b R4).
+
+    The eval set is data-parallel over the mesh: each device runs the
+    fixed-shape jittable beam search (qasr.decode.beam) on its shard of
+    utterances — beam state never crosses devices because prefix beams are
+    per-utterance; what crosses hosts is only the PER counters, via
+    qasr.parallel.collectives.aggregate_per. Sequences come back left-packed
+    and -1-padded like the greedy path, so the same scoring code applies.
+    """
+    from qasr.decode.beam import ctc_beam_search_decode
+
+    model = build_model(cfg)
+    b_shardings = batch_shardings(mesh, sample_batch)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(state_shardings.params, b_shardings),
+    )
+    def beam_step(params, batch):
+        logits = model.apply(
+            {"params": params},
+            batch["features"],
+            train=False,
+            lengths=batch["feature_lengths"],
+        )
+        seq, lens, score = ctc_beam_search_decode(
+            logits,
+            batch["feature_lengths"],
+            beam_width=cfg.decode.beam_width,
+            blank_id=cfg.decode.blank_id,
+            max_len=int(cfg.data.max_label_len),
+        )
+        return {"decoded": seq, "decoded_lengths": lens, "log_score": score}
+
+    return beam_step

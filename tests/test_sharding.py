@@ -234,3 +234,40 @@ class TestSeqParallelCTC:
         logits, labels, ll, tl = self._data(t=60)
         with pytest.raises(ValueError, match="divisible"):
             ctc_loss_seq_parallel(logits, labels, ll, tl, mesh)
+
+
+class TestShardedBeamDecode:
+    """DP-sharded prefix beam decode == unsharded beam decode (R4 multi-host)."""
+
+    def test_matches_unsharded_beam(self, cfg, batch):
+        from qasr.decode.beam import ctc_beam_search_decode
+        from qasr.parallel import make_sharded_beam_decode_step
+        from qasr.train.state import build_model
+
+        mesh = make_mesh(8, 1)
+        state, shardings = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        beam_step = make_sharded_beam_decode_step(cfg, mesh, shardings, batch)
+        out = beam_step(state.params, shard_batch(mesh, batch))
+
+        model = build_model(cfg)
+        params = jax.device_get(state.params)
+        logits = model.apply(
+            {"params": params},
+            batch["features"],
+            train=False,
+            lengths=batch["feature_lengths"],
+        )
+        seq, lens, score = ctc_beam_search_decode(
+            logits,
+            batch["feature_lengths"],
+            beam_width=cfg.decode.beam_width,
+            blank_id=cfg.decode.blank_id,
+            max_len=int(cfg.data.max_label_len),
+        )
+        np.testing.assert_array_equal(np.asarray(out["decoded_lengths"]), np.asarray(lens))
+        np.testing.assert_array_equal(np.asarray(out["decoded"]), np.asarray(seq))
+        np.testing.assert_allclose(
+            np.asarray(out["log_score"]), np.asarray(score), rtol=1e-5
+        )
