@@ -156,24 +156,31 @@ def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> 
     from qasr.parallel.collectives import aggregate_per
     from qasr.train.state import build_model
 
-    model = build_model(cfg) if beam else None
+    beam_fwd = None
+    if beam:
+        model = build_model(cfg)
+        # jit the whole forward+beam pass: eager model.apply would dispatch
+        # op-by-op and dominate eval wall-clock on the tunneled TPU
+        @jax.jit
+        def beam_fwd(params, features, lengths):
+            logits = model.apply(
+                {"params": params}, features, train=False, lengths=lengths
+            )
+            return ctc_beam_search_decode(
+                logits,
+                lengths,
+                beam_width=cfg.decode.beam_width,
+                blank_id=cfg.decode.blank_id,
+                max_len=int(cfg.data.max_label_len),
+            )
+
     errs = total = 0
     losses = []
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         out = eval_step(params, batch)
         if beam:
-            logits = model.apply(
-                {"params": params},
-                batch["features"],
-                train=False,
-                lengths=batch["feature_lengths"],
-            )
-            seq, lens, _ = ctc_beam_search_decode(
-                logits,
-                batch["feature_lengths"],
-                beam_width=cfg.decode.beam_width,
-                blank_id=cfg.decode.blank_id,
-                max_len=int(cfg.data.max_label_len),
+            seq, lens, _ = beam_fwd(
+                params, batch["features"], batch["feature_lengths"]
             )
             out = dict(out)
             out["decoded"], out["decoded_lengths"] = seq, lens

@@ -89,6 +89,15 @@ class TestTrainSmoke:
         )
         dev = evaluate(tiny_cfg, state.params, ds, make_eval_step(tiny_cfg))
         assert dev["per"] < 0.5, f"greedy PER not better than chance: {dev}"
+        # beam-search eval protocol (final-numbers path): beam should never
+        # score worse than greedy on the same params by a wide margin
+        dev_beam = evaluate(
+            tiny_cfg, state.params, ds, make_eval_step(tiny_cfg), beam=True
+        )
+        assert np.isfinite(dev_beam["loss"])
+        assert dev_beam["per"] <= dev["per"] + 0.05, (
+            f"beam PER {dev_beam['per']} much worse than greedy {dev['per']}"
+        )
 
     def test_checkpoint_roundtrip_and_resume(self, tiny_cfg):
         # depends on the checkpoints written by the previous test
