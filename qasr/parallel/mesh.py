@@ -7,6 +7,18 @@ carries tensor sharding of quaternion weights (SURVEY.md §2c P1/P2/P6,
 BASELINE.json north star). Multi-host bring-up goes through
 `jax.distributed.initialize` before mesh construction; after that, 1 chip and
 N hosts differ only in the device list handed to the mesh.
+
+Explicit NON-GOALS (SURVEY.md §2c P4/P5, documented as required):
+
+* **Pipeline parallelism** — every model family here is tens of M params at
+  most (the Hamilton product cuts per-layer weights 4x on top of that); even
+  the librispeech_large encoder fits chips with DP+TP alone, so PP's bubble
+  overhead and schedule complexity buy nothing. The two-axis mesh keeps the
+  door open: a "stage" axis would slot in beside "data"/"model" if a future
+  config needed it.
+* **Expert/MoE parallelism, ring attention, Ulysses** — no reference config
+  contains experts or attention of any kind (conv/dense/LSTM only); revisit
+  only if a hybrid config grows an attention encoder.
 """
 
 from __future__ import annotations
