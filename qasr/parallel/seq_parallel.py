@@ -104,9 +104,12 @@ def ctc_loss_seq_parallel(
     column is carried between shards over ICI with `ppermute`.
 
     Because the recursion is inherently sequential in time, the pipeline does
-    n rounds in which exactly one shard's chunk is "live"; total scan work
-    equals the unsharded loss, so this trades no wall-clock win for an n-fold
-    activation-memory win. The uniform pre-frame carry convention
+    n rounds in which exactly one shard's chunk carry is "live" — but under
+    SPMD every shard executes its chunk scan in *all* n rounds (masked when
+    not live), so aggregate compute is ~n x the unsharded scan while
+    wall-clock matches it. That redundancy is the accepted cost of SPMD
+    uniformity; the win is the n-fold activation-memory reduction (no device
+    holds the full [B, T, S] lattice). The uniform pre-frame carry convention
     (`qasr.ops.ctc.alpha_pre` — applying the step to a log one-hot at state 0
     reproduces alpha_0) means chunk 0 needs no special casing.
 

@@ -106,10 +106,14 @@ def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, samp
     per-utterance; what crosses hosts is only the PER counters, via
     qasr.parallel.collectives.aggregate_per. Sequences come back left-packed
     and -1-padded like the greedy path, so the same scoring code applies.
+
+    Output dict matches make_beam_eval_step (incl. the CTC loss from the same
+    single forward), so it drops into ``evaluate(..., beam_step=...)``.
     """
     from qasr.decode.beam import ctc_beam_search_decode
 
     model = build_model(cfg)
+    loss_fn = make_loss_fn(cfg, model)
     b_shardings = batch_shardings(mesh, sample_batch)
 
     @functools.partial(
@@ -117,12 +121,7 @@ def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, samp
         in_shardings=(state_shardings.params, b_shardings),
     )
     def beam_step(params, batch):
-        logits = model.apply(
-            {"params": params},
-            batch["features"],
-            train=False,
-            lengths=batch["feature_lengths"],
-        )
+        loss, logits = loss_fn(params, batch, jax.random.PRNGKey(0), False)
         seq, lens, score = ctc_beam_search_decode(
             logits,
             batch["feature_lengths"],
@@ -130,6 +129,11 @@ def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, samp
             blank_id=cfg.decode.blank_id,
             max_len=int(cfg.data.max_label_len),
         )
-        return {"decoded": seq, "decoded_lengths": lens, "log_score": score}
+        return {
+            "loss": loss,
+            "decoded": seq,
+            "decoded_lengths": lens,
+            "log_score": score,
+        }
 
     return beam_step

@@ -148,42 +148,46 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     return state, last_metrics
 
 
-def evaluate(cfg: Config, params, dataset, eval_step, *, beam: bool = False) -> dict:
+def evaluate(
+    cfg: Config,
+    params,
+    dataset,
+    eval_step,
+    *,
+    beam: bool = False,
+    beam_step=None,
+) -> dict:
     """PER over one pass of the dataset: greedy (dev protocol) or prefix
     beam search (final numbers; SURVEY.md §3.4). Counters aggregate across
-    hosts (multi-host DP decode)."""
-    from qasr.decode.beam import ctc_beam_search_decode
-    from qasr.parallel.collectives import aggregate_per
-    from qasr.train.state import build_model
+    hosts (multi-host DP decode).
 
-    beam_fwd = None
-    if beam:
-        model = build_model(cfg)
-        # jit the whole forward+beam pass: eager model.apply would dispatch
-        # op-by-op and dominate eval wall-clock on the tunneled TPU
-        @jax.jit
-        def beam_fwd(params, features, lengths):
-            logits = model.apply(
-                {"params": params}, features, train=False, lengths=lengths
+    Beam eval runs ONE forward per batch (loss + beam decode in a single
+    jitted step — no duplicated greedy pass). Pass ``beam_step`` to use a
+    prebuilt step; on a multi-host mesh this MUST be
+    qasr.parallel.make_sharded_beam_decode_step(cfg, mesh, shardings, batch)
+    so per-host batches carry real shardings. When omitted, the single-
+    process make_beam_eval_step(cfg) is used — it is lru_cached on the
+    config, so repeated calls share one compilation.
+    """
+    from qasr.parallel.collectives import aggregate_per
+
+    if beam_step is not None:
+        beam = True
+    elif beam:
+        from qasr.train.step import make_beam_eval_step
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "evaluate(beam=True) on a multi-host mesh requires an explicit "
+                "beam_step from qasr.parallel.make_sharded_beam_decode_step"
             )
-            return ctc_beam_search_decode(
-                logits,
-                lengths,
-                beam_width=cfg.decode.beam_width,
-                blank_id=cfg.decode.blank_id,
-                max_len=int(cfg.data.max_label_len),
-            )
+        beam_step = make_beam_eval_step(cfg)
+    step_fn = beam_step if beam else eval_step
 
     errs = total = 0
     losses = []
     for batch in epoch_iterator(dataset, cfg.data, train=False):
-        out = eval_step(params, batch)
-        if beam:
-            seq, lens, _ = beam_fwd(
-                params, batch["features"], batch["feature_lengths"]
-            )
-            out = dict(out)
-            out["decoded"], out["decoded_lengths"] = seq, lens
+        out = step_fn(params, batch)
         losses.append(float(out["loss"]))
         e, n = batch_per(
             batch["labels"],

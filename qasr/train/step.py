@@ -89,6 +89,7 @@ def make_train_step(cfg: Config):
     return train_step
 
 
+@functools.lru_cache(maxsize=None)
 def make_eval_step(cfg: Config):
     model = build_model(cfg)
     loss_fn = make_loss_fn(cfg, model)
@@ -107,6 +108,39 @@ def make_eval_step(cfg: Config):
         }
 
     return eval_step
+
+
+@functools.lru_cache(maxsize=None)
+def make_beam_eval_step(cfg: Config):
+    """Eval step for the final-numbers protocol (SURVEY.md §3.4): ONE forward
+    computing both the CTC loss and prefix beam-search decode. lru_cached on
+    the (frozen) config so repeated ``evaluate(beam=True)`` calls reuse the
+    jitted step instead of recompiling a fresh closure. For mesh-sharded eval
+    use qasr.parallel.make_sharded_beam_decode_step, which returns the same
+    output dict."""
+    from qasr.decode.beam import ctc_beam_search_decode
+
+    model = build_model(cfg)
+    loss_fn = make_loss_fn(cfg, model)
+
+    @jax.jit
+    def beam_eval_step(params, batch):
+        loss, logits = loss_fn(params, batch, jax.random.PRNGKey(0), False)
+        seq, lens, score = ctc_beam_search_decode(
+            logits,
+            batch["feature_lengths"],
+            beam_width=cfg.decode.beam_width,
+            blank_id=cfg.decode.blank_id,
+            max_len=int(cfg.data.max_label_len),
+        )
+        return {
+            "loss": loss,
+            "decoded": seq,
+            "decoded_lengths": lens,
+            "log_score": score,
+        }
+
+    return beam_eval_step
 
 
 def optax_global_norm(tree) -> jnp.ndarray:

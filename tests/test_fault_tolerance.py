@@ -47,7 +47,13 @@ def _train_cmd(ckpt_dir, num_steps, resume=False):
 
 
 def _complete_steps(ckpt_dir):
-    """Orbax step dirs that finished committing (no tmp marker)."""
+    """Orbax step dirs that finished committing.
+
+    Orbax commits atomically by writing to a root-level
+    ``<step>.orbax-checkpoint-tmp-<id>`` dir and renaming it to the bare
+    digit name, so any digit-named dir is already complete — the tmp marker
+    to exclude is the root-level sibling, not anything inside the step dir.
+    """
     if not os.path.isdir(ckpt_dir):
         return []
     steps = []
@@ -55,8 +61,6 @@ def _complete_steps(ckpt_dir):
         path = os.path.join(ckpt_dir, name)
         if not name.isdigit() or not os.path.isdir(path):
             continue
-        if any("tmp" in e.lower() for e in os.listdir(path)):
-            continue  # mid-write
         steps.append(int(name))
     return sorted(steps)
 
