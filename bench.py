@@ -7,6 +7,14 @@ QCNN (BASELINE.json north-star metric). vs_baseline compares against the
 conv FLOPs equal the 4x-expanded block conv the reference executes every step
 (SURVEY.md §3.2, BASELINE.json config 3) — identical harness, same hardware.
 
+NOTE (round 2): the flagship preset is now the paper's best TIMIT model —
+uniform 256 feature maps over 10 conv layers (QCNN-256; SURVEY.md §2a C7
+sweep) — instead of round 1's smaller mixed 32/64 stack, so `value` is not
+comparable with BENCH_r01. At this width the per-layer "auto" routing runs
+the 10-multiplication Hamilton scheme (10 full real convs, 10/16 the MXU
+FLOPs of the reference's 4x-expanded conv), which is where the quaternion
+dividend shows up as wall-clock, not just parameters.
+
 Measurement method (important on the axon TPU tunnel): `block_until_ready`
 does NOT actually synchronize on this backend and per-dispatch queueing
 distorts loop timing, so each measured unit is ONE jit-compiled

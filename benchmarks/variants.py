@@ -25,8 +25,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--arms",
-        default="block,fast,pallas,real_cnn",
-        help="comma list from: block,fast,pallas,real_cnn",
+        default="auto,block,real_cnn",
+        help="comma list from: auto,block,fast,fast10,pallas,real_cnn",
     )
     args = ap.parse_args()
 
@@ -46,8 +46,10 @@ def main():
     batch = _make_batch(b, t, f, base.model.vocab, 48)
 
     overrides = {
+        "auto": {},  # per-layer routing: fast10 at >=128 q-channels, else block
         "block": {"model.op_variant": "block"},
         "fast": {"model.op_variant": "fast"},
+        "fast10": {"model.op_variant": "fast10"},
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
     }

@@ -150,8 +150,30 @@ def _set_path(obj, path, value):
 
 
 # ---------------------------------------------------------------------------
-# The five named presets = BASELINE.json "configs"
+# Named presets: the five BASELINE.json "configs" plus the paper's
+# feature-map sweep (SURVEY.md §2a C7: uniform feature maps {32,64,128,256}
+# over ~10 conv layers; `timit_qcnn` is the largest = the reference's best
+# TIMIT model, QCNN-256).
 # ---------------------------------------------------------------------------
+
+
+def _timit_preset(fm: int, arch: str = "qcnn", name: str | None = None) -> Config:
+    return Config(
+        name=name or f"timit_{arch}_fm{fm}",
+        model=ModelConfig(
+            arch=arch,
+            conv_features=(fm,) * 10,
+            dense_features=(256, 256, 256),
+            vocab=62,
+            compute_dtype="bfloat16",
+        ),
+        data=DataConfig(
+            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
+            bucket_sizes=(128, 256, 384, 512),
+        ),
+        train=TrainConfig(num_steps=40000, warmup_steps=500),
+    )
+
 
 PRESETS: dict[str, Config] = {
     # 1. Small QCNN (2 quaternion conv + dense + CTC), CPU-runnable smoke
@@ -174,37 +196,17 @@ PRESETS: dict[str, Config] = {
         ),
         train=TrainConfig(num_steps=300, warmup_steps=20, learning_rate=3e-3),
     ),
-    # 2. Full reference QCNN stack on TIMIT, prefix beam decode
-    "timit_qcnn": Config(
-        name="timit_qcnn",
-        model=ModelConfig(
-            conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
-            dense_features=(256, 256, 256),
-            vocab=62,
-            compute_dtype="bfloat16",
-        ),
-        data=DataConfig(
-            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
-            bucket_sizes=(128, 256, 384, 512),
-        ),
-        train=TrainConfig(num_steps=40000, warmup_steps=500),
-    ),
-    # 3. Quaternion-vs-real ablation (kernel roofline compare)
-    "timit_real_cnn": Config(
-        name="timit_real_cnn",
-        model=ModelConfig(
-            arch="real_cnn",
-            conv_features=(32, 32, 64, 64, 64, 64, 64, 64, 64, 64),
-            dense_features=(256, 256, 256),
-            vocab=62,
-            compute_dtype="bfloat16",
-        ),
-        data=DataConfig(
-            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
-            bucket_sizes=(128, 256, 384, 512),
-        ),
-        train=TrainConfig(num_steps=40000, warmup_steps=500),
-    ),
+    # 2. Full reference QCNN stack on TIMIT (the paper's best model,
+    # QCNN-256), prefix beam decode
+    "timit_qcnn": _timit_preset(256, name="timit_qcnn"),
+    # 3. Quaternion-vs-real ablation at equal feature maps (kernel compare)
+    "timit_real_cnn": _timit_preset(256, arch="real_cnn", name="timit_real_cnn"),
+    # The paper's model-size sweep (both architectures)
+    **{f"timit_qcnn_fm{fm}": _timit_preset(fm) for fm in (32, 64, 128)},
+    **{
+        f"timit_real_cnn_fm{fm}": _timit_preset(fm, arch="real_cnn")
+        for fm in (32, 64, 128)
+    },
     # 4. QCNN-LSTM hybrid on LibriSpeech-100h
     "librispeech_qlstm": Config(
         name="librispeech_qlstm",
@@ -231,9 +233,10 @@ PRESETS: dict[str, Config] = {
             dense_features=(1024, 1024, 1024),
             vocab=32,
             compute_dtype="bfloat16",
-            # use_pallas=False: the XLA block path measures fastest for convs
-            # at every channel width incl. 256 (benchmarks: block 34.6 ms vs
-            # Pallas im2col 148.7 / fused 46.3 for B32xT512xF20xC256 fwd)
+            # op_variant="auto" routes convs per-layer: the 10-product
+            # fast10 path at >=128 quaternion channels (measured ~1.3x the
+            # block path fwd+bwd at 256), XLA block below; the Pallas paths
+            # measure slower at every width tried (benchmarks/probe_conv.py)
         ),
         data=DataConfig(
             dataset="librispeech", max_frames=2048, max_label_len=512,

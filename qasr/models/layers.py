@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from qasr.ops.initializers import quaternion_initializer
-from qasr.ops.qlinalg import qconv, qconv_fast, qdense, qdense_fast
+from qasr.ops.qlinalg import qconv, qconv_fast, qconv_fast10, qdense, qdense_fast
 from qasr.ops import pallas as qpallas
 from qasr.ops.quaternion import split_components
 
@@ -46,8 +46,7 @@ class QConv(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
-    variant: str = "auto"  # auto | block | fast ("auto" = block: measured
-    # fastest for convs at every shape tried on v5e — see benchmarks/)
+    variant: str = "auto"  # auto | block | fast | fast10
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -62,6 +61,15 @@ class QConv(nn.Module):
         )
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
+        impl = self.variant
+        if impl == "auto":
+            # Measured routing (benchmarks/probe_conv.py --grad on v5e): the
+            # 10-product scheme runs each bilinear product as a full real
+            # conv whose MXU output width is `features` (fwd/dW) and `cin`
+            # (dx) — not 4x like the block path — so lanes only fill at
+            # >= 128 quaternion channels; there it wins ~1.3x the full
+            # fwd+bwd step. Below that the one-big-conv block path wins.
+            impl = "fast10" if min(cin, self.features) >= 128 else "block"
         # Pallas conv pays off once the im2col contraction dim (cin*kh*kw)
         # approaches an MXU tile; below that (e.g. the 1-quaternion-channel
         # input layer) the XLA block path wins.
@@ -75,7 +83,9 @@ class QConv(nn.Module):
                 x, kernel.astype(dtype), strides=self.strides, padding=self.padding
             )
         else:
-            conv_fn = qconv_fast if self.variant == "fast" else qconv
+            conv_fn = {"block": qconv, "fast": qconv_fast, "fast10": qconv_fast10}[
+                impl
+            ]
             y = conv_fn(
                 x,
                 kernel.astype(dtype),
@@ -117,8 +127,10 @@ class QDense(nn.Module):
             # stacked activation transposes on the dx path cost more than the
             # FLOP cut saves once the layer sits inside a real model
             # (benchmarks/variants.py three-way A/B: block 11.26 ms/step,
-            # pallas-dense 11.75, real-CNN 11.11). Route explicitly via
-            # variant="pallas" to force the kernel.
+            # pallas-dense 11.75, real-CNN 11.11; the XLA 10-product dense is
+            # below the timing harness' noise floor at flagship dense shapes
+            # — benchmarks/probe_dense.py). Route explicitly via
+            # variant="pallas"/"fast" to force a path.
             impl = "block"
         if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))

@@ -182,6 +182,84 @@ def qconv_fast(
     return ys.reshape(*prods.shape[:-2], 4 * cout).astype(x.dtype)
 
 
+def qconv_fast10(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides: Sequence[int] | None = None,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion conv via the 10-multiplication scheme as TEN plain convs.
+
+    Unlike `qconv_fast` (one grouped conv, which XLA:TPU lowers poorly), each
+    of the 10 bilinear products is an ordinary full real convolution
+    ``[B,*sp,Cin] x [*k,Cin,Cout]`` — shapes the TPU conv emitter handles at
+    peak. Autodiff through this structure yields the matching 10-product
+    adjoints for dx (10 transposed convs, per-product width Cin) and dW
+    (10 correlation convs, per-product width Cout), so the whole train step
+    runs at 10/16 of the block path's MXU FLOPs.
+
+    MXU economics: per-product output width is Cout — not 4*Cout as in the
+    block path — so lanes only fill when Cout >= 128 (and Cin >= 128 for the
+    dx pass). Below that the block path wins; qasr.models.layers routes
+    per-layer on this rule (variant="auto"). Verified against qconv /
+    the naive 16-product oracle in tests/test_quaternion_ops.py.
+    """
+    nspatial = w.ndim - 3
+    if w.shape[0] != 4 or nspatial not in (1, 2):
+        raise ValueError(f"conv weights must be [4, *k, Cin, Cout], got {w.shape}")
+    if strides is None:
+        strides = (1,) * nspatial
+    cin, cout = w.shape[-2], w.shape[-1]
+
+    import numpy as np
+
+    xs = x.reshape(*x.shape[:-1], 4, cin)
+    wc = jnp.einsum(
+        "a...kn,pa->p...kn", w, jnp.asarray(W_COMBO, w.dtype)
+    ).astype(x.dtype)  # [10, *k, Cin, Cout]
+
+    sample_shape = (*x.shape[:-1], cin)
+    if nspatial == 1:
+        dn = lax.conv_dimension_numbers(
+            sample_shape, wc.shape[1:], ("NWC", "WIO", "NWC")
+        )
+    else:
+        dn = lax.conv_dimension_numbers(
+            sample_shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
+        )
+
+    prods = []
+    for p in range(10):
+        terms = np.nonzero(X_COMBO[p])[0]
+        xc = xs[..., int(terms[0]), :]
+        if len(terms) == 2:
+            xc = xc + xs[..., int(terms[1]), :]
+        prods.append(
+            lax.conv_general_dilated(
+                xc,
+                wc[p],
+                window_strides=tuple(strides),
+                padding=padding,
+                dimension_numbers=dn,
+                precision=precision,
+            )
+        )
+    outs = []
+    for b in range(4):
+        acc = None
+        for p in range(10):
+            c = int(OUT_COMBO[b, p])
+            if c == 0:
+                continue
+            term = prods[p] if c > 0 else -prods[p]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)
+
+
 def qconv_expanded_oracle(x, w, *, strides=None, padding="SAME"):
     """Test oracle: explicitly materialized 4x-expanded real conv (the
     reference's exact computation, SURVEY.md §3.2). f32 only; tests use this

@@ -183,3 +183,40 @@ class TestFastVariants:
         g1 = jax.grad(lambda w: jnp.sum(jnp.tanh(qdense_fast(x, w))))(w)
         g2 = jax.grad(lambda w: jnp.sum(jnp.tanh(qdense(x, w))))(w)
         np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+    @pytest.mark.parametrize(
+        "spatial,kernel,strides",
+        [
+            ((7, 6), (3, 3), (1, 1)),
+            ((7, 6), (3, 3), (2, 1)),
+            ((11,), (3,), (1,)),
+        ],
+    )
+    def test_qconv_fast10_matches(self, spatial, kernel, strides):
+        from qasr.ops.qlinalg import qconv_fast10
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(23))
+        x = _rand(kx, (2, *spatial, 4 * 5))
+        w = _rand(kw, (4, *kernel, 5, 6))
+        for padding in ("SAME", "VALID"):
+            np.testing.assert_allclose(
+                qconv_fast10(x, w, strides=strides, padding=padding),
+                qconv(x, w, strides=strides, padding=padding),
+                rtol=1e-4,
+                atol=1e-4,
+            )
+
+    def test_qconv_fast10_grads_match(self):
+        from qasr.ops.qlinalg import qconv_fast10
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(24))
+        x = _rand(kx, (2, 8, 5, 4 * 3))
+        w = _rand(kw, (4, 3, 3, 3, 4))
+
+        def loss(fn):
+            return lambda x, w: jnp.sum(jnp.tanh(fn(x, w)))
+
+        gx1, gw1 = jax.grad(loss(qconv_fast10), argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss(qconv), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(gx1, gx2, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(gw1, gw2, rtol=1e-3, atol=1e-4)
