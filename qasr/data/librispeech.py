@@ -1,11 +1,12 @@
-"""LibriSpeech corpus reader: transcripts + wav audio + character vocab.
+"""LibriSpeech corpus reader: transcripts + audio + character vocab.
 
 Capability: BASELINE.json configs 4-5 train on LibriSpeech-100h/960h with a
 character CTC vocabulary. Standard layout:
 ``<root>/<split>/<speaker>/<chapter>/<spk>-<ch>-<utt>.{flac,wav}`` with
-``<spk>-<ch>.trans.txt`` transcript files. This container has no FLAC
-decoder; corpora converted to RIFF wav (a common preprocessing step) load
-directly, FLAC files raise a clear error.
+``<spk>-<ch>.trans.txt`` transcript files. FLAC (the corpus' native format)
+decodes through the framework's own native decoder
+(qasr/native/flac_decode.cpp — this container ships no other); RIFF wav
+loads via the SPHERE/RIFF reader.
 """
 
 from __future__ import annotations
@@ -75,9 +76,10 @@ class LibriSpeechDataset:
     def load(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         utt = self.utterances[i]
         if utt.audio_path.endswith(".flac"):
-            raise NotImplementedError(
-                f"{utt.audio_path}: no FLAC decoder in this environment — "
-                "convert the corpus to RIFF wav first (e.g. with ffmpeg/sox)."
-            )
-        samples, _ = read_sphere(utt.audio_path)
+            from qasr.native import flac_decode_native
+
+            samples, _sr = flac_decode_native(utt.audio_path)
+            samples = samples[:, 0]  # LibriSpeech is mono
+        else:
+            samples, _sr = read_sphere(utt.audio_path)
         return samples.astype(np.float32) / 32768.0, text_to_ids(utt.text)

@@ -1,9 +1,11 @@
 """Native (C++) components, built on demand with g++ and loaded via ctypes.
 
-Components: the batch edit-distance / PER scorer (edit_distance.cpp) and the
+Components: the batch edit-distance / PER scorer (edit_distance.cpp), the
 host-side CTC prefix beam-search decoder (beam_decode.cpp) that overlaps
-batch decode with device compute. Import errors degrade gracefully —
-qasr.decode falls back to numpy / the on-device JAX beam.
+batch decode with device compute, and the FLAC audio decoder
+(flac_decode.cpp) the LibriSpeech loader uses (this container ships no other
+FLAC decoder). Import errors degrade gracefully — qasr.decode falls back to
+numpy / the on-device JAX beam.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_DIR, "edit_distance.cpp"),
     os.path.join(_DIR, "beam_decode.cpp"),
+    os.path.join(_DIR, "flac_decode.cpp"),
 ]
 _SO = os.path.join(_DIR, "_qasr_native.so")
 _lock = threading.Lock()
@@ -63,6 +66,22 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.qasr_flac_error.restype = ctypes.c_char_p
+        lib.qasr_flac_error.argtypes = []
+        lib.qasr_flac_probe.restype = ctypes.c_int
+        lib.qasr_flac_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.qasr_flac_decode.restype = ctypes.c_int64
+        lib.qasr_flac_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
         ]
         lib.qasr_ctc_beam_decode.restype = None
         lib.qasr_ctc_beam_decode.argtypes = [
@@ -144,6 +163,53 @@ def ctc_beam_decode_native(
         out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out_seqs, out_lens, out_scores
+
+
+def flac_probe(path: str) -> dict:
+    """STREAMINFO of a FLAC file: n_samples / channels / sample_rate / bps."""
+    lib = _load()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    rc = lib.qasr_flac_probe(
+        path.encode(), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(sr),
+        ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: {lib.qasr_flac_error().decode()}")
+    return {
+        "n_samples": n.value,
+        "channels": ch.value,
+        "sample_rate": sr.value,
+        "bps": bps.value,
+    }
+
+
+def flac_decode_native(path: str) -> tuple[np.ndarray, int]:
+    """Decode a FLAC file with the native decoder (qasr/native/flac_decode.cpp).
+
+    Returns (samples ``[n, channels]`` int32 at the stream's bit depth,
+    sample_rate). LibriSpeech is 16 kHz mono 16-bit; the decoder also handles
+    8/24-bit and stereo with left/right/mid-side decorrelation.
+    """
+    lib = _load()
+    info = flac_probe(path)
+    if info["n_samples"] > 0:
+        cap = info["n_samples"] * info["channels"]
+    else:
+        # STREAMINFO total unknown: bound by bitstream size (compressed FLAC
+        # never expands a sample below one bit, so 8x the byte count covers it)
+        cap = max(os.path.getsize(path) * 8 // max(info["bps"], 1), 4096)
+    out = np.empty((cap,), np.int32)
+    got = lib.qasr_flac_decode(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap
+    )
+    if got < 0:
+        raise ValueError(f"{path}: {lib.qasr_flac_error().decode()}")
+    return out[: got * info["channels"]].reshape(-1, info["channels"]), info[
+        "sample_rate"
+    ]
 
 
 def batch_per_native(refs, ref_lens, hyps, hyp_lens) -> tuple[int, int]:
