@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--chip", default="v5e")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--variant", default="block", choices=["block", "fast", "fast10"])
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -40,6 +41,7 @@ def main():
         dtype=args.dtype,
         chip=args.chip,
         use_pallas=args.pallas,
+        variant=args.variant,
         repeats=args.repeats,
     )
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()}))

@@ -25,7 +25,10 @@ optimization.
 
 Constraints: stride 1, odd kernel, SAME or VALID padding handled by the
 wrapper's XLA pad; C (quaternion in-channels) >= 128-friendly sizes — the
-layer gating in qasr/models/layers.py routes smaller layers to XLA.
+layer gating in qasr/models/layers.py routes smaller layers to XLA. Use
+bf16 activations at its design shapes (C=256): Mosaic compile times blow up
+(>15 min) for f32 inputs at C=128 — another reason default routing prefers
+the XLA paths (docs/performance.md).
 """
 
 from __future__ import annotations
@@ -214,10 +217,15 @@ def _fused_fwd(x, w, padding):
 
 
 def _fused_bwd(padding, res, dy):
-    from qasr.ops.qlinalg import qconv
+    from qasr.ops.qlinalg import qconv, qconv_fast10
 
     x, w = res
-    _, vjp = jax.vjp(lambda x_, w_: qconv(x_, w_, padding=padding), x, w)
+    # mathematically identical XLA backward; pick the measured-fastest path
+    # (10-product adjoints fill MXU lanes only at >=128 q-channels — same
+    # routing rule as qasr.models.layers.QConv)
+    cin, cout = w.shape[-2], w.shape[-1]
+    conv = qconv_fast10 if min(cin, cout) >= 128 else qconv
+    _, vjp = jax.vjp(lambda x_, w_: conv(x_, w_, padding=padding), x, w)
     return vjp(dy)
 
 

@@ -1,77 +1,14 @@
 #!/usr/bin/env python
-"""qasr experiment CLI — L5 entry point (SURVEY.md §1, §2a C11).
+"""qasr experiment CLI — repo-root convenience wrapper.
 
-Usage:
-  python train.py --preset tiny_synthetic [--set train.num_steps=500] \
-      [--set model.compute_dtype=bfloat16] [--resume]
+Delegates to :mod:`qasr.cli` (installed as the ``qasr-train`` console
+script); see that module for flags. Usage:
+
+  python train.py --preset tiny_synthetic [--set train.num_steps=500]
   python train.py --preset timit_qcnn --set data.data_dir=/path/to/TIMIT
-
-Presets are the five BASELINE.json configs (qasr/configs/config.py).
 """
 
-from __future__ import annotations
-
-import argparse
-
-
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--preset", default="tiny_synthetic")
-    ap.add_argument(
-        "--set",
-        action="append",
-        default=[],
-        metavar="key.path=value",
-        help="config override, repeatable",
-    )
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--eval-only", action="store_true")
-    ap.add_argument("--beam", action="store_true", help="prefix beam search for eval")
-    ap.add_argument("--split", default=None,
-                    help="eval split (timit: dev/core_test/full_test; librispeech: dev-clean/test-clean)")
-    ap.add_argument("--list-presets", action="store_true")
-    args = ap.parse_args()
-
-    from qasr.configs import PRESETS, get_config
-
-    if args.list_presets:
-        for name, cfg in PRESETS.items():
-            print(f"{name}: arch={cfg.model.arch} dataset={cfg.data.dataset}")
-        return
-
-    cfg = get_config(args.preset)
-    overrides = {}
-    for kv in args.set:
-        if "=" not in kv:
-            raise SystemExit(f"--set expects key.path=value, got {kv!r}")
-        k, v = kv.split("=", 1)
-        overrides[k] = v
-    if overrides:
-        cfg = cfg.override(**overrides)
-
-    from qasr.train import build_dataset, evaluate, make_eval_step, train
-    from qasr.train.checkpoint import CheckpointManager
-    from qasr.train.state import create_train_state
-    import jax
-
-    if args.eval_only:
-        import numpy as np
-        from qasr.data.batching import epoch_iterator
-
-        dataset = build_dataset(cfg, split=args.split) if args.split else build_dataset(cfg)
-        batch = next(iter(epoch_iterator(dataset, cfg.data, train=False)))
-        state = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
-        ckpt = CheckpointManager(cfg)
-        step = ckpt.best_step() or ckpt.latest_step()
-        if step is None:
-            raise SystemExit(f"no checkpoint in {cfg.train.checkpoint_dir}")
-        state = ckpt.restore(step, state)
-        dev = evaluate(cfg, state.params, dataset, make_eval_step(cfg), beam=args.beam)
-        print(f"[qasr] eval @ step {step}: {dev}")
-        return
-
-    train(cfg, resume=args.resume)
-
+from qasr.cli import main
 
 if __name__ == "__main__":
     main()
