@@ -50,6 +50,7 @@ def main():
         "block": {"model.op_variant": "block"},
         "fast": {"model.op_variant": "fast"},
         "fast10": {"model.op_variant": "fast10"},
+        "dense_fast": {"model.dense_variant": "fast"},  # conv stays auto
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
     }

@@ -30,7 +30,8 @@ class ModelConfig:
     bidirectional: bool = True
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False
-    op_variant: str = "auto"        # auto | block | fast | pallas (dense only)
+    op_variant: str = "auto"        # conv path: auto | block | fast | fast10
+    dense_variant: str = "auto"     # dense path: auto | block | fast | pallas
 
 
 @dataclass(frozen=True)

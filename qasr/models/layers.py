@@ -126,11 +126,10 @@ class QDense(nn.Module):
             # qgemm is faster in isolation at K <= 512, but its packed<->
             # stacked activation transposes on the dx path cost more than the
             # FLOP cut saves once the layer sits inside a real model
-            # (benchmarks/variants.py three-way A/B: block 11.26 ms/step,
-            # pallas-dense 11.75, real-CNN 11.11; the XLA 10-product dense is
-            # below the timing harness' noise floor at flagship dense shapes
-            # — benchmarks/probe_dense.py). Route explicitly via
-            # variant="pallas"/"fast" to force a path.
+            # (benchmarks/variants.py A/B on the QCNN-256 flagship:
+            # dense_variant=fast 119.6 ms/step vs block 117.1; round-1
+            # pallas-dense 11.75 ms vs block 11.26 on the small stack).
+            # Route explicitly via variant="pallas"/"fast" to force a path.
             impl = "block"
         if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))

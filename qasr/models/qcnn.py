@@ -36,6 +36,7 @@ class QCNNEncoder(nn.Module):
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
     variant: str = "block"
+    dense_variant: str = "auto"
 
     @nn.compact
     def __call__(
@@ -74,7 +75,7 @@ class QCNNEncoder(nn.Module):
                 features=feats,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
-                variant=self.variant,
+                variant=self.dense_variant,
                 name=f"qdense_{i}",
             )(x)
             x = PReLU(name=f"dense_prelu_{i}")(x)

@@ -52,6 +52,7 @@ def build_model(cfg: Config) -> nn.Module:
             dtype=dtype,
             use_pallas=m.use_pallas,
             variant=m.op_variant,
+            dense_variant=m.dense_variant,
         )
     if m.arch == "real_cnn":
         return RealCNNEncoder(

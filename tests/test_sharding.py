@@ -271,3 +271,56 @@ class TestShardedBeamDecode:
         np.testing.assert_allclose(
             np.asarray(out["log_score"]), np.asarray(score), rtol=1e-5
         )
+
+
+class TestFast10Sharded:
+    """The 10-conv Hamilton path under DP x TP GSPMD sharding (the routing
+    QConv(variant="auto") picks at >= 128 quaternion channels) must match the
+    unsharded op: the 10 product convs see batch-sharded inputs and
+    out-channel-sharded kernels, and GSPMD inserts the collectives."""
+
+    def test_qconv_fast10_dp_tp_matches_unsharded(self):
+        from jax.sharding import NamedSharding
+        from qasr.ops.qlinalg import qconv_fast10
+
+        mesh = make_mesh(2, 4)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+        x = jax.random.normal(k1, (8, 12, 6, 4 * 128), jnp.float32)
+        w = jax.random.normal(k2, (4, 3, 3, 128, 128), jnp.float32) * 0.05
+
+        want = qconv_fast10(x, w)
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ws = jax.device_put(
+            w, NamedSharding(mesh, P(None, None, None, None, MODEL_AXIS))
+        )
+        got = jax.jit(qconv_fast10)(xs, ws)
+        # output layout is GSPMD's choice; values must match exactly
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_qconv_fast10_grads_match_under_sharding(self):
+        from jax.sharding import NamedSharding
+        from qasr.ops.qlinalg import qconv_fast10
+
+        mesh = make_mesh(2, 4)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+        x = jax.random.normal(k1, (4, 8, 6, 4 * 128), jnp.float32)
+        w = jax.random.normal(k2, (4, 3, 3, 128, 128), jnp.float32) * 0.05
+
+        def loss(x, w):
+            return jnp.sum(qconv_fast10(x, w) ** 2) * 1e-4
+
+        gx1, gw1 = jax.grad(loss, argnums=(0, 1))(x, w)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ws = jax.device_put(
+            w, NamedSharding(mesh, P(None, None, None, None, MODEL_AXIS))
+        )
+        gx2, gw2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, ws)
+        np.testing.assert_allclose(
+            np.asarray(gx2), np.asarray(gx1), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-5
+        )
