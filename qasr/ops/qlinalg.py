@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from qasr.ops.quaternion import (
@@ -213,8 +214,6 @@ def qconv_fast10(
     if strides is None:
         strides = (1,) * nspatial
     cin, cout = w.shape[-2], w.shape[-1]
-
-    import numpy as np
 
     xs = x.reshape(*x.shape[:-1], 4, cin)
     wc = jnp.einsum(
