@@ -10,7 +10,7 @@ The symbols below are the user-facing surface, re-exported lazily so that
 the expensive part).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # name -> submodule that defines it
 _API = {
@@ -23,6 +23,7 @@ _API = {
     "RealCNNEncoder": "qasr.models.qcnn",
     # functional ops
     "qconv": "qasr.ops.qlinalg",
+    "qconv_fast10": "qasr.ops.qlinalg",
     "qdense": "qasr.ops.qlinalg",
     "hamilton_product": "qasr.ops.quaternion",
     "quaternion_init": "qasr.ops.initializers",

@@ -131,14 +131,22 @@ def _from_dict(cls, d):
 
 
 def _coerce(ftype, value):
+    import typing
+
     if not isinstance(value, str):
         return value
     if ftype is bool:
         return value.lower() in ("1", "true", "yes")
     if ftype in (int, float):
         return ftype(value)
-    if ftype is not str and value and "," in value:
-        return tuple(int(x) if x.isdigit() else x for x in value.split(","))
+    if typing.get_origin(ftype) is tuple:
+        # tuple-typed field: "64" and "128,128" both become tuples (the
+        # comma test alone left single-element tuples as bare strings)
+        return tuple(
+            int(x) if x.lstrip("-").isdigit() else x
+            for x in value.split(",")
+            if x != ""
+        )
     return value
 
 

@@ -110,6 +110,18 @@ class TestConfigs:
         cfg = cfg.override(**{"model.compute_dtype": "bfloat16"})
         assert cfg.model.compute_dtype == "bfloat16"
 
+    def test_override_tuple_coercion(self):
+        # CLI strings for tuple-typed fields, including the single-element
+        # case that the old comma test left as a bare string
+        cfg = get_config("tiny_synthetic").override(**{
+            "model.conv_features": "128,128",
+            "model.dense_features": "64",
+            "data.bucket_sizes": "32",
+        })
+        assert cfg.model.conv_features == (128, 128)
+        assert cfg.model.dense_features == (64,)
+        assert cfg.data.bucket_sizes == (32,)
+
 
 class TestQBatchNorm:
     def test_whitens_to_identity_covariance(self):
