@@ -181,6 +181,9 @@ def _timit_preset(fm: int, arch: str = "qcnn", name: str | None = None) -> Confi
             bucket_sizes=(128, 256, 384, 512),
         ),
         train=TrainConfig(num_steps=40000, warmup_steps=500),
+        # beam width 100 = the reference backend's ctc_decode default
+        # (Keras K.ctc_decode(greedy=False), SURVEY.md §2a C9)
+        decode=DecodeConfig(beam_width=100),
     )
 
 
