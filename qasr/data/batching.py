@@ -108,6 +108,13 @@ def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):
     )
 
 
+class _PrefetchError:
+    """Sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class Prefetcher:
     """Background-thread batch prefetch (bounded queue).
 
@@ -135,19 +142,27 @@ class Prefetcher:
         import queue
 
         while not self._stop.is_set():
-            item = (next(self._stream), self._stream.state())
+            try:
+                item = (next(self._stream), self._stream.state())
+            except BaseException as e:  # propagate instead of hanging __next__
+                item = _PrefetchError(e)
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.5)
                     break
                 except queue.Full:
                     continue
+            if isinstance(item, _PrefetchError):
+                return
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _PrefetchError):
+            raise RuntimeError("prefetch thread failed") from item.error
+        return item
 
     def close(self):
         self._stop.set()

@@ -215,3 +215,22 @@ class TestBatchStream:
             got = next(fresh)
             np.testing.assert_array_equal(got["features"], want["features"])
             np.testing.assert_array_equal(got["labels"], want["labels"])
+
+
+class TestPrefetcher:
+    def test_propagates_producer_exception(self):
+        from qasr.data.batching import Prefetcher
+
+        class Boom:
+            def state(self):
+                return {}
+
+            def __next__(self):
+                raise ValueError("dataset exploded")
+
+        p = Prefetcher(Boom(), depth=1)
+        try:
+            with pytest.raises(RuntimeError, match="prefetch thread failed"):
+                next(p)
+        finally:
+            p.close()
