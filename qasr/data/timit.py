@@ -64,6 +64,20 @@ CORE_TEST_SPEAKERS = {
     "mjdh0", "fmgd0", "mgrt0", "mnjm0", "fdhc0", "mjln0", "mpam0", "fmld0",
 }
 
+# Standard 50-speaker development set (the Kaldi TIMIT recipe's dev_spk.list),
+# disjoint from the core test speakers; the usual model-selection split in
+# TIMIT PER literature. If a corpus directory contains none of these (e.g.
+# a partial corpus), split="dev" falls back to all non-core test speakers.
+DEV_SPEAKERS = {
+    "faks0", "fdac1", "fjem0", "mgwt0", "mjar0", "mmdb1", "mmdm2", "mpdf0",
+    "fcmh0", "fkms0", "mbdg0", "mbwm0", "mcsh0", "fadg0", "fdms0", "fedw0",
+    "mgjf0", "mglb0", "mrtk0", "mtaa0", "mtdt0", "mthc0", "mwjg0", "fnmr0",
+    "frew0", "fsem0", "mbns0", "mmjr0", "mdls0", "mdlf0", "mdvc0", "mers0",
+    "fmah0", "fdrw0", "mrcs0", "mrjm4", "fcal1", "mmwh0", "fjsj0", "majc0",
+    "mjsw0", "mreb0", "fgjd0", "fjmg0", "mroa0", "mteb0", "mjfc0", "mrjr0",
+    "fmml0", "mrws1",
+}
+
 
 def fold_to_39(phones: list[str]) -> list[str]:
     """Apply the Lee & Hon 61->39 folding; 'q' deleted, glottal-collapsed."""
@@ -179,6 +193,13 @@ class TimitDataset:
 
     def _index(self, split: str) -> list[TimitUtterance]:
         top = "train" if split == "train" else "test"
+        utts = self._index_with(split, standard_dev=True)
+        if split == "dev" and not utts:
+            utts = self._index_with(split, standard_dev=False)
+        return utts
+
+    def _index_with(self, split: str, *, standard_dev: bool) -> list[TimitUtterance]:
+        top = "train" if split == "train" else "test"
         utts = []
         for dirpath, _, files in os.walk(self.root):
             if os.path.basename(os.path.dirname(dirpath)).lower() not in (top,):
@@ -210,8 +231,12 @@ class TimitDataset:
                     utts.append(TimitUtterance(wav, phn, speaker, "core_test"))
                 elif split == "full_test" and top == "test":
                     utts.append(TimitUtterance(wav, phn, speaker, "full_test"))
-                elif split == "dev" and top == "test" and not is_core:
-                    utts.append(TimitUtterance(wav, phn, speaker, "dev"))
+                elif split == "dev" and top == "test":
+                    in_dev = (
+                        speaker in DEV_SPEAKERS if standard_dev else not is_core
+                    )
+                    if in_dev:
+                        utts.append(TimitUtterance(wav, phn, speaker, "dev"))
         return sorted(utts, key=lambda u: u.wav_path)
 
     def __len__(self):

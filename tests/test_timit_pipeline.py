@@ -107,10 +107,31 @@ class TestTimitDataset:
     def test_core_and_dev_splits(self, fixture_corpus):
         core = TimitDataset(fixture_corpus, "core_test")
         assert len(core) == 1
+        # fixture speaker is not in the standard 50-speaker dev list, so the
+        # dev split falls back to all non-core test speakers
         dev = TimitDataset(fixture_corpus, "dev")
         assert len(dev) == 1
         full = TimitDataset(fixture_corpus, "full_test")
         assert len(full) == 2
+
+    def test_dev_prefers_standard_speaker_list(self, fixture_corpus):
+        # add an utterance for a standard dev speaker: once present, the dev
+        # split is exactly the Kaldi dev_spk.list selection (protocol), and
+        # other non-core speakers are excluded
+        import shutil
+
+        from qasr.data.timit import DEV_SPEAKERS, CORE_TEST_SPEAKERS
+
+        assert not (DEV_SPEAKERS & CORE_TEST_SPEAKERS)
+        src = os.path.join(fixture_corpus, "test", "dr1", "mzzz9")
+        dst = os.path.join(fixture_corpus, "test", "dr1", "faks0")
+        shutil.copytree(src, dst)
+        try:
+            dev = TimitDataset(fixture_corpus, "dev")
+            speakers = {u.speaker for u in dev.utterances}
+            assert speakers == {"faks0"}
+        finally:
+            shutil.rmtree(dst)
 
     def test_load_returns_ids(self, fixture_corpus):
         ds = TimitDataset(fixture_corpus, "train")
