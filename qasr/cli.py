@@ -14,6 +14,7 @@ Presets are the BASELINE.json configs plus the paper's feature-map sweep
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None):
@@ -55,6 +56,15 @@ def main(argv=None):
     from qasr.train.checkpoint import CheckpointManager
     from qasr.train.state import create_train_state
     import jax
+
+    try:  # persistent compile cache: reruns skip the (slow) XLA compiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("QASR_COMPILE_CACHE", "/tmp/qasr_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     if args.eval_only:
         from qasr.data.batching import epoch_iterator

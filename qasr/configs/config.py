@@ -46,6 +46,9 @@ class DataConfig:
     num_synthetic: int = 64        # synthetic dataset size
     bucket_sizes: tuple[int, ...] = (64, 128, 256)
     prefetch_depth: int = 2        # background host-side batch prefetch queue
+    cache_features: bool = True    # False: featurize per utterance on demand
+    # (streaming mode for corpora whose feature matrix exceeds RAM, e.g.
+    # LibriSpeech-960h ~220 GB f32; see qasr/data/pipeline.py)
 
 
 @dataclass(frozen=True)
@@ -253,6 +256,9 @@ PRESETS: dict[str, Config] = {
         data=DataConfig(
             dataset="librispeech", max_frames=2048, max_label_len=512,
             batch_size=64, bucket_sizes=(512, 1024, 2048),
+            # 960h of features (~220 GB f32) fits neither RAM nor a cache
+            # file: featurize on demand (streaming mode)
+            cache_features=False,
         ),
         train=TrainConfig(num_steps=500000, warmup_steps=5000),
         mesh=MeshConfig(data_axis=-1, model_axis=4),

@@ -55,7 +55,7 @@ def make_batch(
 
 
 def bucketed_batches(
-    examples: list,
+    examples,  # sequence of (features, labels) pairs; lazily indexable
     *,
     batch_size: int,
     bucket_sizes: tuple[int, ...],
@@ -90,15 +90,33 @@ def bucketed_batches(
                 yield make_batch(pool, bucket, max_label_len)
 
 
+class _PairView:
+    """Lazy (features, labels) view over a dataset of example objects.
+
+    bucketed_batches only ever indexes one element at a time, so this keeps
+    streaming pipelines (cache_features=False) from materializing an epoch of
+    features in RAM — each example is featurized when its index comes up.
+    """
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __getitem__(self, i):
+        ex = self._dataset[i]
+        return ex.features, ex.labels
+
+
 def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):
-    """Adapter from SyntheticDataset/TimitDataset to bucketed batches."""
+    """Adapter from SyntheticDataset/FeaturePipeline to bucketed batches."""
     if hasattr(dataset, "load"):  # TimitDataset: lazy audio -> features upstream
         raise NotImplementedError(
             "TIMIT batching goes through qasr.data.pipeline (features on device)"
         )
-    pairs = [(ex.features, ex.labels) for ex in (dataset[i] for i in range(len(dataset)))]
     return bucketed_batches(
-        pairs,
+        _PairView(dataset),
         batch_size=cfg.batch_size,
         bucket_sizes=cfg.bucket_sizes,
         max_label_len=cfg.max_label_len,

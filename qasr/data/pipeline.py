@@ -1,11 +1,20 @@
-"""Corpus -> on-device quaternion features -> cached examples.
+"""Corpus -> on-device quaternion features -> cached or streamed examples.
 
 The reference preprocesses TIMIT offline into pickled numpy features
 (SURVEY.md §1 L1, §3.5). TPU-first redesign: waveforms are featurized by the
 jitted JAX front-end (qasr.features) in large padded batches on the
-accelerator, normalized per utterance, then cached as one .npz per split so
-subsequent epochs stream from host RAM. No audio libraries needed — the
-native SPHERE/RIFF reader in qasr.data.timit handles the formats.
+accelerator, normalized per utterance, then either
+
+* **cached** as one .npz per split so subsequent epochs stream from host RAM
+  (right for TIMIT / LibriSpeech-100h scale), or
+* **streamed** (``cache_features=False``): featurized on demand per
+  utterance — the right mode for LibriSpeech-960h, whose feature matrix
+  (~220 GB f32) fits neither RAM nor a sane cache file. Waveforms pad to
+  power-of-2 sample counts so the jitted front-end compiles O(log) variants,
+  not one per length.
+
+No audio libraries needed — the native SPHERE/RIFF reader in qasr.data.timit
+and the native FLAC decoder in qasr/native handle the formats.
 
 `FeaturePipeline` is corpus-agnostic (anything with ``load(i) -> (wav, ids)``
 and ``__len__``); `TimitFeaturePipeline` / `LibriFeaturePipeline` bind it to
@@ -45,14 +54,22 @@ class FeaturePipeline:
         cache_key: str,
         cache_dir: str,
         featurize_batch: int = 32,
+        cache_features: bool | None = None,
     ):
         self.cfg = cfg
         self.corpus = corpus
+        if cache_features is None:
+            cache_features = cfg.data.cache_features
+        # version bump invalidates caches when featurization semantics change
+        # (v2: length-aware delta clamping)
         key = hashlib.sha1(
-            f"{cache_key}:{cfg.data.n_mels}:{cfg.data.sample_rate}:v1".encode()
+            f"{cache_key}:{cfg.data.n_mels}:{cfg.data.sample_rate}:v2".encode()
         ).hexdigest()[:12]
         self.cache_path = os.path.join(cache_dir, f"feats_{key}.npz")
-        self._examples = self._load_or_build(featurize_batch)
+        if cache_features:
+            self._examples = self._load_or_build(featurize_batch)
+        else:
+            self._examples = None  # streaming: featurize in __getitem__
 
     def _load_or_build(self, featurize_batch: int):
         if os.path.exists(self.cache_path):
@@ -85,7 +102,7 @@ class FeaturePipeline:
             for j, w in enumerate(wavs):
                 batch[j, : len(w)] = w
                 lens[j] = num_frames(len(w), fcfg)
-            feats = quaternion_features(jnp.asarray(batch), fcfg)
+            feats = quaternion_features(jnp.asarray(batch), fcfg, jnp.asarray(lens))
             feats = normalize_features(feats, jnp.asarray(lens))
             feats = np.asarray(feats)
             for j, lab in enumerate(labels):
@@ -112,10 +129,42 @@ class FeaturePipeline:
         )
         return examples
 
+    def _featurize_one(self, i: int) -> _FeatureExample:
+        """Streaming path: featurize utterance i on demand.
+
+        The waveform pads to the next power of two so the jitted front-end
+        sees a bounded set of shapes (one compile per octave of utterance
+        length), then the padded tail frames are sliced off.
+        """
+        import jax.numpy as jnp
+
+        from qasr.features import (
+            FrontendConfig,
+            normalize_features,
+            num_frames,
+            quaternion_features,
+        )
+
+        fcfg = FrontendConfig(
+            sample_rate=self.cfg.data.sample_rate, n_mels=self.cfg.data.n_mels
+        )
+        wav, labels = self.corpus.load(i)
+        t = num_frames(len(wav), fcfg)
+        n_pad = 1 << max(int(np.ceil(np.log2(max(len(wav), fcfg.win_length)))), 0)
+        batch = np.zeros((1, n_pad), np.float32)
+        batch[0, : len(wav)] = wav
+        t_arr = jnp.asarray([t], np.int32)
+        feats = quaternion_features(jnp.asarray(batch), fcfg, t_arr)
+        feats = normalize_features(feats, t_arr)
+        f = np.asarray(feats)[0, :t].reshape(t, 4, self.cfg.data.n_mels)
+        return _FeatureExample(np.moveaxis(f, 1, 2).copy(), np.asarray(labels))
+
     def __len__(self):
-        return len(self._examples)
+        return len(self.corpus) if self._examples is None else len(self._examples)
 
     def __getitem__(self, i) -> _FeatureExample:
+        if self._examples is None:
+            return self._featurize_one(i)
         return self._examples[i]
 
 

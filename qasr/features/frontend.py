@@ -102,14 +102,31 @@ def _delta_kernel(n: int) -> np.ndarray:
     return taps  # correlation taps: sum_k taps[k+n]*c_{t+k}
 
 
-def delta(feat: jnp.ndarray, n: int = 2) -> jnp.ndarray:
-    """Regression deltas along time: ``[B, T, F] -> [B, T, F]``, edge-padded."""
+def delta(
+    feat: jnp.ndarray, n: int = 2, lengths: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Regression deltas along time: ``[B, T, F] -> [B, T, F]``, edge-clamped.
+
+    With ``lengths`` (``[B]`` valid frame counts), each utterance's windows
+    clamp at ITS last valid frame — matching the reference's per-utterance
+    offline deltas, and making features within the valid region independent
+    of how much batch padding follows (cached and streaming featurization
+    then agree exactly; see qasr/data/pipeline.py).
+    """
     taps = jnp.asarray(_delta_kernel(n))
-    padded = jnp.pad(feat, ((0, 0), (n, n), (0, 0)), mode="edge")
-    # depthwise conv along T: treat F as batch-of-channels via dot along window
     t = feat.shape[1]
-    win_idx = jnp.arange(t)[:, None] + jnp.arange(2 * n + 1)[None, :]
-    windows = padded[:, win_idx, :]  # [B, T, 2n+1, F]
+    idx = jnp.clip(
+        jnp.arange(t)[:, None] + jnp.arange(-n, n + 1)[None, :], 0, t - 1
+    )  # [T, W]
+    if lengths is not None:
+        idx = jnp.minimum(idx[None], jnp.maximum(lengths - 1, 0)[:, None, None])
+    else:
+        idx = idx[None]  # [1, T, W]
+    b = feat.shape[0]
+    w = 2 * n + 1
+    idx = jnp.broadcast_to(idx, (b, t, w)).reshape(b, t * w)
+    windows = jnp.take_along_axis(feat, idx[..., None], axis=1)
+    windows = windows.reshape(b, t, w, feat.shape[-1])
     return jnp.einsum("btwf,w->btf", windows, taps)
 
 
@@ -126,13 +143,21 @@ def log_mel_spectrogram(x: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def quaternion_features(x: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()):
+def quaternion_features(
+    x: jnp.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+    lengths: jnp.ndarray | None = None,
+):
     """``[B, N]`` waveform -> packed ``[B, T, 4*n_mels]`` quaternion features
-    (component-major: [fbank, Δ, ΔΔ, ΔΔΔ])."""
+    (component-major: [fbank, Δ, ΔΔ, ΔΔΔ]).
+
+    ``lengths`` (``[B]`` valid frame counts) makes the delta chain clamp at
+    each utterance's boundary (see `delta`) so valid-region features don't
+    depend on batch padding."""
     fbank = log_mel_spectrogram(x, cfg)
-    d1 = delta(fbank, cfg.delta_window)
-    d2 = delta(d1, cfg.delta_window)
-    d3 = delta(d2, cfg.delta_window)
+    d1 = delta(fbank, cfg.delta_window, lengths)
+    d2 = delta(d1, cfg.delta_window, lengths)
+    d3 = delta(d2, cfg.delta_window, lengths)
     return jnp.concatenate([fbank, d1, d2, d3], axis=-1)
 
 

@@ -145,6 +145,31 @@ class TestTimitDataset:
 
 
 class TestFeaturePipeline:
+    def test_streaming_matches_cached(self, fixture_corpus, tmp_path):
+        """cache_features=False featurizes on demand; the length-aware delta
+        chain makes valid-region features independent of batch padding, so
+        cached and streaming modes must agree everywhere."""
+        from qasr.data.pipeline import TimitFeaturePipeline
+
+        cfg = get_config("timit_qcnn").override(
+            **{"data.data_dir": fixture_corpus, "data.batch_size": 2}
+        )
+        cached = TimitFeaturePipeline(
+            cfg, split="train", featurize_batch=2, cache_dir=str(tmp_path / "c")
+        )
+        streaming = TimitFeaturePipeline(
+            cfg, split="train", featurize_batch=2,
+            cache_dir=str(tmp_path / "s"), cache_features=False,
+        )
+        assert len(streaming) == len(cached)
+        for i in range(len(cached)):
+            a, b = cached[i], streaming[i]
+            assert a.features.shape == b.features.shape
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_allclose(
+                a.features, b.features, rtol=1e-4, atol=1e-4
+            )
+
     def test_end_to_end(self, fixture_corpus):
         cfg = get_config("timit_qcnn").override(
             **{"data.data_dir": fixture_corpus, "data.batch_size": 2}
