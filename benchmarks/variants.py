@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="timit_qcnn")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--t", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3)
@@ -42,7 +43,7 @@ def main():
     from qasr.configs import get_config
 
     b, t, f = args.batch, args.t, 40
-    base = get_config("timit_qcnn").override(**{"data.batch_size": b})
+    base = get_config(args.preset).override(**{"data.batch_size": b})
     batch = _make_batch(b, t, f, base.model.vocab, 48)
 
     overrides = {

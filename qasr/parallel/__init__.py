@@ -16,6 +16,7 @@ from qasr.parallel.sharding import (
 )
 from qasr.parallel.train import (
     create_sharded_train_state,
+    host_rows,
     make_sharded_beam_decode_step,
     make_sharded_eval_step,
     make_sharded_train_step,
@@ -37,6 +38,7 @@ __all__ = [
     "batch_shardings",
     "shard_batch",
     "create_sharded_train_state",
+    "host_rows",
     "make_sharded_train_step",
     "make_sharded_eval_step",
     "make_sharded_beam_decode_step",

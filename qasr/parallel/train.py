@@ -12,12 +12,69 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from qasr.configs import Config
+from qasr.parallel.mesh import DATA_AXIS
 from qasr.parallel.sharding import batch_shardings, tree_shardings
 from qasr.train.state import TrainState, build_model, build_optimizer
 from qasr.train.step import make_loss_fn, optax_global_norm
+
+
+def host_rows(tree):
+    """This process' contiguous row-slice of a host-replicated global batch.
+
+    Identity on a single process. Multi-host callers scoring step outputs
+    (host-local views) against batch fields must slice the references with
+    the SAME convention the step adapter uses (process-contiguous rows).
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return tree
+    pidx = jax.process_index()
+
+    def slc(v):
+        b = v.shape[0]
+        local = b // n_proc
+        return v[pidx * local : (pidx + 1) * local]
+
+    return jax.tree_util.tree_map(slc, tree)
+
+
+def _multihost_adapter(mesh: Mesh, step, out_specs=None):
+    """Make a sharded step consumable with host-replicated numpy batches.
+
+    Single-process: identity (jit's in_shardings place the arrays). Multi-host
+    SPMD: every host's data iterator deterministically reproduces the same
+    GLOBAL batch (same seed/dataset walk), so each host slices its own
+    process-contiguous rows and assembles the global sharded array via
+    multihost_utils; batch-sharded outputs convert back to the host-local
+    view so callers can np.asarray them (out_specs gives the per-leaf
+    PartitionSpecs; None leaves outputs untouched, e.g. replicated scalars
+    and the train state).
+    """
+    if jax.process_count() == 1:
+        return step
+
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+
+    def wrapped(state_or_params, batch):
+        b = next(iter(batch.values())).shape[0]
+        if b % n_proc:
+            raise ValueError(f"global batch {b} not divisible by {n_proc} hosts")
+        batch = multihost_utils.host_local_array_to_global_array(
+            host_rows(batch), mesh, P(DATA_AXIS)
+        )
+        out = step(state_or_params, batch)
+        if out_specs is not None:
+            out = multihost_utils.global_array_to_host_local_array(
+                out, mesh, out_specs
+            )
+        return out
+
+    return wrapped
 
 
 def create_sharded_train_state(cfg: Config, rng: jax.Array, sample_features, mesh: Mesh):
@@ -73,7 +130,8 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, state_shardings, sample_bat
         }
         return new_state, metrics
 
-    return train_step
+    # outputs (state, replicated-scalar metrics) need no host-local view
+    return _multihost_adapter(mesh, train_step)
 
 
 def make_sharded_eval_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
@@ -94,7 +152,11 @@ def make_sharded_eval_step(cfg: Config, mesh: Mesh, state_shardings, sample_batc
         )
         return {"loss": loss, "decoded": decoded, "decoded_lengths": dec_lens}
 
-    return eval_step
+    return _multihost_adapter(
+        mesh,
+        eval_step,
+        out_specs={"loss": P(), "decoded": P(DATA_AXIS), "decoded_lengths": P(DATA_AXIS)},
+    )
 
 
 def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
@@ -136,4 +198,13 @@ def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, samp
             "log_score": score,
         }
 
-    return beam_step
+    return _multihost_adapter(
+        mesh,
+        beam_step,
+        out_specs={
+            "loss": P(),
+            "decoded": P(DATA_AXIS),
+            "decoded_lengths": P(DATA_AXIS),
+            "log_score": P(DATA_AXIS),
+        },
+    )

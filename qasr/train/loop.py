@@ -184,14 +184,19 @@ def evaluate(
         beam_step = make_beam_eval_step(cfg)
     step_fn = beam_step if beam else eval_step
 
+    from qasr.parallel.train import host_rows
+
     errs = total = 0
     losses = []
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         out = step_fn(params, batch)
         losses.append(float(out["loss"]))
+        # multi-host: sharded steps return host-local decoded rows; score them
+        # against the same host's slice of the (host-replicated) references
+        refs = host_rows({k: batch[k] for k in ("labels", "label_lengths")})
         e, n = batch_per(
-            batch["labels"],
-            batch["label_lengths"],
+            refs["labels"],
+            refs["label_lengths"],
             np.asarray(out["decoded"]),
             np.asarray(out["decoded_lengths"]),
             fold=cfg.data.dataset == "timit",
