@@ -7,6 +7,12 @@ dense stack: M = B*T rows, K quaternion in, N quaternion out. The 10-product
 dense's per-product GEMM is [M, K] x [K, N] (N lanes = N, not 4N), so like
 the conv it only fills the MXU once N >= 128.
 
+CAVEAT: flagship dense ops run ~0.1-1 ms — at or below this harness'
+noise floor (tunnel RTT variance can exceed the measured quotient, even
+yielding negative values). For dense-path decisions use the full-train-step
+A/B instead: `variants.py --arms auto,dense_fast` (which is how dense auto
+was pinned to the block path; see docs/performance.md).
+
 Usage: python benchmarks/probe_dense.py [--m 4096] [--shapes 832:256,256:256] [--grad]
 """
 

@@ -143,7 +143,7 @@ def _fused_conv_raw(xp, wc, *, kh, kw, f_out, tn):
                 lambda j, b, i: (0, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, _TT, f_out, tn),
