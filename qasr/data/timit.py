@@ -27,8 +27,9 @@ TIMIT_61 = [
     "er", "ey", "f", "g", "gcl", "h#", "hh", "hv", "ih", "ix", "iy", "jh",
     "k", "kcl", "l", "m", "n", "ng", "nx", "ow", "oy", "p", "pau", "pcl",
     "q", "r", "s", "sh", "t", "tcl", "th", "uh", "uw", "ux", "v", "w",
-    "wh", "y", "z", "zh",
+    "y", "z", "zh",
 ]
+assert len(TIMIT_61) == 61, "TIMIT training inventory must be exactly 61 phones"
 
 # Lee & Hon 61 -> 39 folding used for TIMIT PER scoring. 'q' is deleted.
 FOLD_61_TO_39 = {
@@ -51,7 +52,7 @@ FOLD_61_TO_39 = {
     "dh": "dh", "dx": "dx", "eh": "eh", "ey": "ey", "f": "f", "g": "g",
     "iy": "iy", "jh": "jh", "k": "k", "ow": "ow", "oy": "oy", "p": "p",
     "r": "r", "s": "s", "t": "t", "th": "th", "uh": "uh", "v": "v",
-    "w": "w", "wh": "w", "y": "y", "z": "z",
+    "w": "w", "y": "y", "z": "z",
 }
 
 PHONE_TO_ID = {p: i + 1 for i, p in enumerate(TIMIT_61)}  # 0 = CTC blank

@@ -47,6 +47,19 @@ def build_dataset(cfg: Config, *, seed: int = 0, split: str = "train"):
     raise ValueError(f"unsupported dataset {d.dataset!r} in this environment")
 
 
+def _check_labels(batch, vocab: int) -> None:
+    """Host-side guard: a label id >= vocab silently corrupts the CTC lattice
+    (it one-hots to an all-zero row, i.e. a free probability-1 emission, so
+    the 'NLL' can go negative and the symbol can never be decoded). Fail
+    loudly at the source instead."""
+    mx = int(np.max(batch["labels"], initial=0))
+    if mx >= vocab:
+        raise ValueError(
+            f"label id {mx} out of range for model.vocab={vocab}; the corpus "
+            "symbol inventory and the model vocabulary disagree"
+        )
+
+
 def build_mesh_from_config(cfg: Config):
     # deferred import: qasr.parallel.train imports back into qasr.train
     from qasr.parallel.mesh import make_mesh
@@ -86,6 +99,7 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
         eval_dataset = dataset
     stream = BatchStream(dataset, cfg.data, seed=cfg.train.seed)
     first = next(stream)
+    _check_labels(first, cfg.model.vocab)
 
     state, shardings = create_sharded_train_state(cfg, rng, first["features"], mesh)
     ckpt = CheckpointManager(cfg)
@@ -140,6 +154,7 @@ def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
             elif (step + 1) % cfg.train.checkpoint_every == 0:
                 ckpt.save(step + 1, state, data_state=batch_state)
             batch, batch_state = next(prefetch)
+            _check_labels(batch, cfg.model.vocab)
     finally:
         prefetch.close()
 
@@ -189,6 +204,7 @@ def evaluate(
     errs = total = 0
     losses = []
     for batch in epoch_iterator(dataset, cfg.data, train=False):
+        _check_labels(batch, cfg.model.vocab)
         out = step_fn(params, batch)
         losses.append(float(out["loss"]))
         # multi-host: sharded steps return host-local decoded rows; score them

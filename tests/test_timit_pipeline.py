@@ -10,11 +10,44 @@ import pytest
 from qasr.configs import get_config
 from qasr.data.timit import (
     CORE_TEST_SPEAKERS,
+    FOLD_61_TO_39,
     PHONE_TO_ID,
+    TIMIT_61,
     TimitDataset,
     read_phn,
     read_sphere,
 )
+
+
+class TestPhoneInventory:
+    """The id space must fit the 62-class CTC vocab (0 = blank, 1..61 =
+    phones). A 62nd phone in the inventory once put 'zh' at id 62 — out of
+    range for the softmax — which silently corrupted the CTC lattice
+    (out-of-range one-hot = all-zero row = free probability-1 emission,
+    'loss' went negative) and made 'zh' undecodable."""
+
+    def test_exactly_61_unique_phones(self):
+        assert len(TIMIT_61) == 61
+        assert len(set(TIMIT_61)) == 61
+        assert max(PHONE_TO_ID.values()) == 61
+        assert min(PHONE_TO_ID.values()) == 1  # 0 is the CTC blank
+
+    def test_fold_produces_exactly_39_classes(self):
+        folded = {FOLD_61_TO_39.get(p, p) for p in TIMIT_61} - {None}
+        assert len(folded) == 39
+        assert "sil" in folded and "q" not in folded
+
+    def test_fold_keys_subset_of_inventory(self):
+        assert set(FOLD_61_TO_39) <= set(TIMIT_61)
+
+    def test_out_of_range_labels_rejected(self):
+        from qasr.train.loop import _check_labels
+
+        ok = {"labels": np.array([[1, 61, 0]], np.int32)}
+        _check_labels(ok, vocab=62)
+        bad = {"labels": np.array([[1, 62, 0]], np.int32)}
+        with pytest.raises(ValueError, match="out of range"):
+            _check_labels(bad, vocab=62)
 
 
 def _write_riff(path, samples, rate=16000):
