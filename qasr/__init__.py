@@ -33,6 +33,9 @@ _API = {
     "ctc_greedy_decode": "qasr.ops.ctc",
     "ctc_beam_search_decode": "qasr.decode.beam",
     "batch_per": "qasr.decode.scoring",
+    # inference
+    "Transcriber": "qasr.infer",
+    "featurize_waveform": "qasr.features.frontend",
     # config / training
     "get_config": "qasr.configs",
     "train": "qasr.train.loop",

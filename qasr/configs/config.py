@@ -143,11 +143,15 @@ def _coerce(ftype, value):
     if ftype in (int, float):
         return ftype(value)
     if typing.get_origin(ftype) is tuple:
-        # tuple-typed field: "64" and "128,128" both become tuples (the
-        # comma test alone left single-element tuples as bare strings)
+        # tuple-typed field: "64", "128,128", "(64,128)" and "[64,128]" all
+        # become tuples (the comma test alone left single-element tuples as
+        # bare strings, and unstripped parens silently produced string items)
+        s = value.strip()
+        if len(s) >= 2 and s[0] in "([" and s[-1] in ")]":
+            s = s[1:-1]
         return tuple(
             int(x) if x.lstrip("-").isdigit() else x
-            for x in value.split(",")
+            for x in (part.strip() for part in s.split(","))
             if x != ""
         )
     return value

@@ -130,34 +130,15 @@ class FeaturePipeline:
         return examples
 
     def _featurize_one(self, i: int) -> _FeatureExample:
-        """Streaming path: featurize utterance i on demand.
-
-        The waveform pads to the next power of two so the jitted front-end
-        sees a bounded set of shapes (one compile per octave of utterance
-        length), then the padded tail frames are sliced off.
-        """
-        import jax.numpy as jnp
-
-        from qasr.features import (
-            FrontendConfig,
-            normalize_features,
-            num_frames,
-            quaternion_features,
-        )
+        """Streaming path: featurize utterance i on demand (shape-bounded
+        jit compiles — see `qasr.features.featurize_waveform`)."""
+        from qasr.features import FrontendConfig, featurize_waveform
 
         fcfg = FrontendConfig(
             sample_rate=self.cfg.data.sample_rate, n_mels=self.cfg.data.n_mels
         )
         wav, labels = self.corpus.load(i)
-        t = num_frames(len(wav), fcfg)
-        n_pad = 1 << max(int(np.ceil(np.log2(max(len(wav), fcfg.win_length)))), 0)
-        batch = np.zeros((1, n_pad), np.float32)
-        batch[0, : len(wav)] = wav
-        t_arr = jnp.asarray([t], np.int32)
-        feats = quaternion_features(jnp.asarray(batch), fcfg, t_arr)
-        feats = normalize_features(feats, t_arr)
-        f = np.asarray(feats)[0, :t].reshape(t, 4, self.cfg.data.n_mels)
-        return _FeatureExample(np.moveaxis(f, 1, 2).copy(), np.asarray(labels))
+        return _FeatureExample(featurize_waveform(wav, fcfg), np.asarray(labels))
 
     def __len__(self):
         return len(self.corpus) if self._examples is None else len(self._examples)

@@ -1,6 +1,7 @@
 from qasr.features.frontend import (
     FrontendConfig,
     delta,
+    featurize_waveform,
     frame_signal,
     log_mel_spectrogram,
     mel_filterbank,
@@ -12,6 +13,7 @@ from qasr.features.frontend import (
 __all__ = [
     "FrontendConfig",
     "delta",
+    "featurize_waveform",
     "frame_signal",
     "log_mel_spectrogram",
     "mel_filterbank",

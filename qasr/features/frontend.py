@@ -161,6 +161,29 @@ def quaternion_features(
     return jnp.concatenate([fbank, d1, d2, d3], axis=-1)
 
 
+def featurize_waveform(
+    wav: np.ndarray, cfg: FrontendConfig = FrontendConfig()
+) -> np.ndarray:
+    """One ``[N]`` float32 waveform -> normalized ``[T, n_mels, 4]`` features.
+
+    The single-utterance host-side entry (feature pipeline streaming mode and
+    `qasr.infer.Transcriber`). The waveform pads to the next power of two so
+    the jitted front-end sees a bounded set of shapes (one compile per octave
+    of utterance length); padded tail frames are sliced off. Per-utterance
+    CMVN over valid frames; deltas clamp at the true boundary so the result
+    is independent of the padding.
+    """
+    t = num_frames(len(wav), cfg)
+    n_pad = 1 << max(int(np.ceil(np.log2(max(len(wav), cfg.win_length)))), 0)
+    batch = np.zeros((1, n_pad), np.float32)
+    batch[0, : len(wav)] = wav
+    t_arr = jnp.asarray([t], jnp.int32)
+    feats = quaternion_features(jnp.asarray(batch), cfg, t_arr)
+    feats = normalize_features(feats, t_arr)
+    f = np.asarray(feats)[0, :t].reshape(t, 4, cfg.n_mels)
+    return np.moveaxis(f, 1, 2).copy()
+
+
 def normalize_features(feat: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Per-utterance mean/variance normalization over valid frames.
 

@@ -19,7 +19,7 @@ from qasr.configs import Config
 
 
 class CheckpointManager:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, *, write_config: bool = True):
         self.dir = os.path.abspath(cfg.train.checkpoint_dir)
         os.makedirs(self.dir, exist_ok=True)
         self.mgr = ocp.CheckpointManager(
@@ -29,8 +29,10 @@ class CheckpointManager:
                 create=True,
             ),
         )
-        # serialize the config next to the checkpoints (reproducibility)
-        if jax.process_index() == 0:
+        # serialize the config next to the checkpoints (reproducibility);
+        # read-only consumers (qasr.infer) pass write_config=False so they
+        # never clobber the training run's record
+        if write_config and jax.process_index() == 0:
             with open(os.path.join(self.dir, "config.json"), "w") as f:
                 f.write(cfg.to_json())
 
