@@ -23,9 +23,11 @@ def main(argv=None):
     ap.add_argument(
         "--set",
         action="append",
+        nargs="+",
         default=[],
         metavar="key.path=value",
-        help="config override, repeatable",
+        help="config override(s); repeatable, and one --set accepts several "
+        "space-separated key.path=value pairs",
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
@@ -44,7 +46,7 @@ def main(argv=None):
 
     cfg = get_config(args.preset)
     overrides = {}
-    for kv in args.set:
+    for kv in (x for group in args.set for x in group):
         if "=" not in kv:
             raise SystemExit(f"--set expects key.path=value, got {kv!r}")
         k, v = kv.split("=", 1)

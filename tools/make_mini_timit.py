@@ -60,16 +60,20 @@ def phone_bank(seed: int) -> dict[str, dict]:
 
 
 def render_utterance(
-    phones: list[str], bank: dict, rng: np.random.RandomState, speaker_shift: float
+    phones: list[str],
+    bank: dict,
+    rng: np.random.RandomState,
+    speaker_shift: float,
+    silent: frozenset | set = frozenset(SILENT),
 ) -> tuple[np.ndarray, list[tuple[int, int, str]]]:
-    """Render a phone string to 16 kHz samples + .phn (start, end, phone) rows."""
+    """Render a symbol string to 16 kHz samples + (start, end, symbol) rows."""
     segs, marks, pos = [], [], 0
     for p in phones:
         spec = bank[p]
         dur = int(RATE * spec["dur_ms"] * rng.uniform(0.7, 1.4) / 1000.0)
         dur = max(dur, int(0.025 * RATE))  # at least one analysis window
         t = np.arange(dur) / RATE
-        if p in SILENT:
+        if p in silent:
             sig = 0.01 * rng.randn(dur)
         else:
             sig = np.zeros(dur)
