@@ -86,5 +86,27 @@ def main(argv=None):
     train(cfg, resume=args.resume)
 
 
+def transcribe_main(argv=None):
+    """``qasr-transcribe``: checkpoint -> transcriptions for audio files.
+
+    qasr-transcribe --ckpt /tmp/qasr_ckpt [--beam] [--fold] [--step N] f1.wav ...
+    """
+    ap = argparse.ArgumentParser(description=transcribe_main.__doc__)
+    ap.add_argument("--ckpt", required=True, help="training checkpoint dir")
+    ap.add_argument("--step", type=int, default=None, help="pin a step (default: best/latest)")
+    ap.add_argument("--beam", action="store_true", help="prefix beam search")
+    ap.add_argument("--fold", action="store_true", help="TIMIT 61->39 scoring fold")
+    ap.add_argument("files", nargs="+", help="audio files (SPHERE/RIFF wav, FLAC)")
+    args = ap.parse_args(argv)
+
+    from qasr.infer import Transcriber
+
+    t = Transcriber(args.ckpt, step=args.step, beam=args.beam)
+    for path in args.files:
+        out = t.transcribe_file(path, fold=args.fold)
+        text = out if isinstance(out, str) else " ".join(out)
+        print(f"{path}\t{text}")
+
+
 if __name__ == "__main__":
     main()

@@ -99,3 +99,11 @@ class TestTranscriber:
     def test_missing_checkpoint_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             Transcriber(str(tmp_path / "nope"))
+
+    def test_transcribe_cli(self, trained_ckpt, capsys):
+        from qasr.cli import transcribe_main
+
+        ckpt_dir, wav_path = trained_ckpt
+        transcribe_main(["--ckpt", ckpt_dir, "--fold", wav_path])
+        out = capsys.readouterr().out
+        assert out.startswith(wav_path + "\t")
