@@ -74,7 +74,8 @@ def main(argv=None):
         dataset = build_dataset(cfg, split=args.split) if args.split else build_dataset(cfg)
         batch = next(iter(epoch_iterator(dataset, cfg.data, train=False)))
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
-        ckpt = CheckpointManager(cfg)
+        # read-only consumer: never clobber the training run's config.json
+        ckpt = CheckpointManager(cfg, write_config=False)
         step = ckpt.best_step() or ckpt.latest_step()
         if step is None:
             raise SystemExit(f"no checkpoint in {cfg.train.checkpoint_dir}")

@@ -154,6 +154,18 @@ def _read_riff(path: str) -> tuple[np.ndarray, int]:
         return data.astype(np.int16), rate
 
 
+def write_riff(path: str, samples: np.ndarray, rate: int = 16000) -> None:
+    """Write int16 mono PCM as a standard RIFF wav (`_read_riff`'s inverse).
+
+    Used by the corpus-generator tools and test fixtures — one writer so a
+    header fix never needs to land in several copies."""
+    data = np.asarray(samples, "<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+
 def read_phn(path: str) -> list[str]:
     """Read a TIMIT .phn transcript -> list of phone symbols."""
     phones = []

@@ -85,20 +85,27 @@ class Transcriber:
 
     def _restore(self, step: int | None) -> int:
         from qasr.train.checkpoint import CheckpointManager
-        from qasr.train.state import create_train_state
 
         ckpt = CheckpointManager(self.cfg, write_config=False)
-        if step is None:
-            step = ckpt.best_step() or ckpt.latest_step()
-        if step is None:
+        avail = set(ckpt.all_steps())
+        if not avail:
             raise FileNotFoundError(
                 f"no checkpoint steps in {self.cfg.train.checkpoint_dir!r}"
             )
+        if step is None:
+            # best-dev-PER step when it still exists; Orbax's max_to_keep GC
+            # may have deleted it (best.json is only a pointer), in which
+            # case fall back to the latest surviving step.
+            best = ckpt.best_step()
+            step = best if best in avail else ckpt.latest_step()
+        elif step not in avail:
+            raise FileNotFoundError(
+                f"step {step} not in {sorted(avail)} under "
+                f"{self.cfg.train.checkpoint_dir!r}"
+            )
         t0 = _next_time_pad(1, self.cfg.data.bucket_sizes)
         skeleton = np.zeros((1, t0, self.cfg.data.n_mels, 4), np.float32)
-        state = create_train_state(self.cfg, jax.random.PRNGKey(0), skeleton)
-        state = ckpt.restore(step, state)
-        self.params = state.params
+        self.params = ckpt.restore_params(step, self.cfg, skeleton)
         return int(step)
 
     def _decode_fn(self, params, features, lengths):
@@ -109,12 +116,16 @@ class Transcriber:
             {"params": params}, features, train=False, lengths=lengths
         )
         if self.beam:
+            # max_len = the frame count (static under jit): CTC can't emit
+            # more non-blank symbols than frames, so nothing truncates —
+            # cfg.data.max_label_len is a training-data bound, not an
+            # inference bound.
             seq, lens, _ = ctc_beam_search_decode(
                 logits,
                 lengths,
                 beam_width=self.cfg.decode.beam_width,
                 blank_id=self.cfg.decode.blank_id,
-                max_len=int(self.cfg.data.max_label_len),
+                max_len=int(features.shape[1]),
             )
         else:
             seq, lens = ctc_greedy_decode(
@@ -129,6 +140,11 @@ class Transcriber:
         the 39-phone scoring set) or LibriSpeech characters (joined string)."""
         ids = [int(i) for i in ids]
         if self.cfg.data.dataset == "librispeech":
+            if fold:
+                raise ValueError(
+                    "fold=True is the TIMIT 61->39 phone fold; this is a "
+                    "character (LibriSpeech) checkpoint"
+                )
             from qasr.data.librispeech import ids_to_text
 
             return ids_to_text(ids)
@@ -167,6 +183,7 @@ class Transcriber:
             from qasr.native import flac_decode_native
 
             samples, rate = flac_decode_native(path)
+            samples = samples[:, 0]  # [n, channels] -> mono
         else:
             from qasr.data.timit import read_sphere
 

@@ -69,6 +69,39 @@ class CheckpointManager:
         """Restore into the structure/shardings of `target_state`."""
         return self.mgr.restore(step, args=ocp.args.StandardRestore(target_state))
 
+    def all_steps(self) -> list[int]:
+        return list(self.mgr.all_steps())
+
+    def restore_params(self, step: int, cfg: Config, sample_features):
+        """Params-only restore for inference.
+
+        The non-param subtrees (optimizer moments = 2/3 of the checkpoint
+        bytes, step counter, dropout key) are marked `ocp.PLACEHOLDER` so
+        Orbax never reads or materializes them, and the target structure
+        comes from `jax.eval_shape` so nothing is initialized on device
+        either — peak memory is exactly one params tree. Uses a dedicated
+        read-only manager because PLACEHOLDER needs the PyTree handler,
+        while `save` binds this manager's item to the Standard handler.
+        """
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from qasr.train.state import create_train_state
+
+        feats = jax.ShapeDtypeStruct(np.shape(sample_features), jnp.float32)
+        abstract = jax.eval_shape(
+            lambda f: create_train_state(cfg, jax.random.PRNGKey(0), f), feats
+        )
+        target = abstract.replace(
+            step=ocp.PLACEHOLDER,
+            dropout_rng=ocp.PLACEHOLDER,
+            opt_state=jax.tree.map(lambda _: ocp.PLACEHOLDER, abstract.opt_state),
+        )
+        with ocp.CheckpointManager(self.dir) as read_mgr:
+            restored = read_mgr.restore(step, args=ocp.args.PyTreeRestore(item=target))
+        return restored.params
+
     def restore_data_state(self, step: int) -> dict | None:
         path = os.path.join(self.dir, f"data_state_{step}.json")
         if os.path.exists(path):

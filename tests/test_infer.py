@@ -2,7 +2,6 @@
 (the user-facing inference entry; SURVEY.md §3.4 eval path as a library API)."""
 
 import os
-import struct
 
 import numpy as np
 import pytest
@@ -10,18 +9,10 @@ import pytest
 import jax
 
 from qasr.configs import get_config
-from qasr.data.timit import FOLD_61_TO_39, TIMIT_61
+from qasr.data.timit import FOLD_61_TO_39, TIMIT_61, write_riff
 from qasr.infer import Transcriber, _next_time_pad
 from qasr.train.checkpoint import CheckpointManager
 from qasr.train.state import create_train_state
-
-
-def _write_riff(path, samples, rate=16000):
-    data = samples.astype("<i2").tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
-        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
-        f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +35,7 @@ def trained_ckpt(tmp_path_factory):
     ckpt.wait()
     wav_path = str(root / "utt.wav")
     rng = np.random.RandomState(0)
-    _write_riff(wav_path, (rng.randn(9000) * 5000).astype(np.int16))
+    write_riff(wav_path, (rng.randn(9000) * 5000).astype(np.int16))
     return ckpt_dir, wav_path
 
 
@@ -99,6 +90,44 @@ class TestTranscriber:
     def test_missing_checkpoint_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             Transcriber(str(tmp_path / "nope"))
+
+    def test_best_pointer_to_gcd_step_falls_back_to_latest(self, trained_ckpt):
+        """Orbax max_to_keep GC can delete the step best.json points at; the
+        default restore must then use the latest surviving step, not crash."""
+        import json
+        import shutil
+
+        ckpt_dir, _ = trained_ckpt
+        stale = str(trained_ckpt[0]) + "_stale"
+        shutil.copytree(ckpt_dir, stale)
+        with open(os.path.join(stale, "best.json"), "w") as f:
+            json.dump({"step": 999, "dev_per": 0.01}, f)
+        assert Transcriber(stale).step == 2
+        with pytest.raises(FileNotFoundError, match="not in"):
+            Transcriber(stale, step=999)
+
+    def test_fold_rejected_for_character_checkpoints(self, trained_ckpt):
+        ckpt_dir, wav_path = trained_ckpt
+        t = Transcriber(ckpt_dir)
+        t.cfg = t.cfg.override(**{"data.dataset": "librispeech"})
+        assert isinstance(t.transcribe_file(wav_path), str)
+        with pytest.raises(ValueError, match="TIMIT"):
+            t.transcribe_file(wav_path, fold=True)
+
+    def test_transcribe_flac(self, trained_ckpt, tmp_path):
+        """FLAC files decode to [n, channels]; the mono selection must happen
+        before featurization (a 2-D waveform would fail to broadcast)."""
+        from test_flac import FlacEncoder
+
+        ckpt_dir, wav_path = trained_ckpt
+        rng = np.random.RandomState(3)
+        pcm = (rng.randn(8000) * 4000).astype(np.int16)
+        flac_path = str(tmp_path / "utt.flac")
+        with open(flac_path, "wb") as f:
+            f.write(FlacEncoder().encode(pcm.reshape(-1, 1)))
+        t = Transcriber(ckpt_dir)
+        phones = t.transcribe_file(flac_path)
+        assert all(p in TIMIT_61 for p in phones)
 
     def test_transcribe_cli(self, trained_ckpt, capsys):
         from qasr.cli import transcribe_main

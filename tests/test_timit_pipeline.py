@@ -16,6 +16,7 @@ from qasr.data.timit import (
     TimitDataset,
     read_phn,
     read_sphere,
+    write_riff,
 )
 
 
@@ -48,14 +49,6 @@ class TestPhoneInventory:
         bad = {"labels": np.array([[1, 62, 0]], np.int32)}
         with pytest.raises(ValueError, match="out of range"):
             _check_labels(bad, vocab=62)
-
-
-def _write_riff(path, samples, rate=16000):
-    data = samples.astype("<i2").tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
-        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16))
-        f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
 def _write_nist(path, samples, rate=16000):
@@ -94,7 +87,7 @@ def fixture_corpus(tmp_path_factory):
         if nist:
             _write_nist(str(d / f"{name}.wav"), wav)
         else:
-            _write_riff(str(d / f"{name}.wav"), wav)
+            write_riff(str(d / f"{name}.wav"), wav)
         _write_phn(str(d / f"{name}.phn"), ["h#", "sh", "iy", "h#"])
 
     utt("train", "mabc0", "si1", nist=False)
@@ -111,7 +104,7 @@ class TestSphereReaders:
     def test_riff_roundtrip(self, tmp_path):
         wav = (np.sin(np.linspace(0, 100, 4000)) * 10000).astype(np.int16)
         p = str(tmp_path / "x.wav")
-        _write_riff(p, wav)
+        write_riff(p, wav)
         got, rate = read_sphere(p)
         assert rate == 16000
         np.testing.assert_array_equal(got, wav)
@@ -249,7 +242,7 @@ class TestLibriSpeech:
             for i, text in enumerate(["HELLO WORLD", "IT'S A TEST"]):
                 utt = f"19-198-{i:04d}"
                 wav = (rng.randn(9000) * 3000).astype(np.int16)
-                _write_riff(str(d / f"{utt}.wav"), wav)
+                write_riff(str(d / f"{utt}.wav"), wav)
                 f.write(f"{utt} {text}\n")
         return str(tmp_path)
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import struct
 
 import numpy as np
 
@@ -35,6 +34,7 @@ from qasr.data.timit import (  # noqa: E402
     CORE_TEST_SPEAKERS,
     DEV_SPEAKERS,
     TIMIT_61,
+    write_riff,
 )
 
 RATE = 16000
@@ -91,14 +91,6 @@ def render_utterance(
         pos += dur
     wav = np.concatenate(segs)
     return np.clip(wav * 32767 * 0.8, -32767, 32767).astype(np.int16), marks
-
-
-def write_riff(path: str, samples: np.ndarray) -> None:
-    data = samples.tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
-        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, RATE, RATE * 2, 2, 16))
-        f.write(b"data" + struct.pack("<I", len(data)) + data)
 
 
 def write_utt(d: str, name: str, phones, bank, rng, shift) -> None:
