@@ -28,7 +28,6 @@ which cancels the RTT and any queue-fill transient; arms are interleaved
 from __future__ import annotations
 
 import json
-import statistics
 import time
 
 import numpy as np
@@ -94,14 +93,12 @@ class _Arm:
 
 
 def bench_arms(arms: dict, *, repeats=5) -> dict:
-    est = {k: [] for k in arms}
-    for _ in range(repeats):
-        for name, arm in arms.items():
-            n_small, n_big = arm.lengths
-            t_small = arm.timed(n_small)
-            t_big = arm.timed(n_big)
-            est[name].append((t_big - t_small) / (n_big - n_small))
-    return {k: statistics.median(v) for k, v in est.items()}
+    from qasr.utils.profiling import steady_state_times
+
+    return steady_state_times(
+        {name: (arm.timed, arm.lengths) for name, arm in arms.items()},
+        repeats=repeats,
+    )
 
 
 def main():

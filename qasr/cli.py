@@ -76,7 +76,10 @@ def main(argv=None):
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
         # read-only consumer: never clobber the training run's config.json
         ckpt = CheckpointManager(cfg, write_config=False)
-        step = ckpt.best_step() or ckpt.latest_step()
+        # best.json may point at an Orbax-GC'd step; fall back to the latest
+        # surviving one (and compare against None: step 0 is legitimate)
+        best = ckpt.best_step()
+        step = best if best is not None and best in ckpt.all_steps() else ckpt.latest_step()
         if step is None:
             raise SystemExit(f"no checkpoint in {cfg.train.checkpoint_dir}")
         state = ckpt.restore(step, state)

@@ -40,7 +40,6 @@ class DataConfig:
     data_dir: str = ""
     n_mels: int = 40
     sample_rate: int = 16000
-    max_frames: int = 256          # bucket ceiling (power-of-2 buckets)
     max_label_len: int = 64
     batch_size: int = 8            # global batch (across all DP shards)
     num_synthetic: int = 64        # synthetic dataset size
@@ -65,16 +64,23 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every: int = 20
     remat_convs: bool = False      # jax.checkpoint over conv stack
+    debug_nans: bool = False       # run the loop under utils.debug.nan_debug
+    # (slow: disables jit caching of NaN checks; debugging runs only)
 
 
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh: data axis for DP over ICI, model axis for TP sharding of
-    quaternion output channels (SURVEY.md §2c P1/P2)."""
+    quaternion output channels (SURVEY.md §2c P1/P2).
 
-    data_axis: int = -1            # -1: all devices
+    ``data_axis == -1`` means "all devices remaining after the model axis"
+    (the model axis is clamped down to the largest divisor of the device count
+    so presets run anywhere). An explicit ``data_axis`` pins the DP extent and
+    the mesh takes exactly ``data_axis * model_axis`` devices — fewer than the
+    slice is allowed (a deliberate subset run), more raises."""
+
+    data_axis: int = -1            # -1: all devices / explicit DP extent
     model_axis: int = 1
-    axis_names: tuple[str, str] = ("data", "model")
 
 
 @dataclass(frozen=True)
@@ -184,7 +190,7 @@ def _timit_preset(fm: int, arch: str = "qcnn", name: str | None = None) -> Confi
             compute_dtype="bfloat16",
         ),
         data=DataConfig(
-            dataset="timit", max_frames=512, max_label_len=80, batch_size=16,
+            dataset="timit", max_label_len=80, batch_size=16,
             bucket_sizes=(128, 256, 384, 512),
         ),
         train=TrainConfig(num_steps=40000, warmup_steps=500),
@@ -207,7 +213,6 @@ PRESETS: dict[str, Config] = {
         data=DataConfig(
             dataset="synthetic",
             n_mels=8,
-            max_frames=64,
             max_label_len=8,
             batch_size=8,
             num_synthetic=64,
@@ -239,7 +244,7 @@ PRESETS: dict[str, Config] = {
             compute_dtype="bfloat16",
         ),
         data=DataConfig(
-            dataset="librispeech", max_frames=2048, max_label_len=512,
+            dataset="librispeech", max_label_len=512,
             batch_size=32, bucket_sizes=(512, 1024, 2048),
         ),
         train=TrainConfig(num_steps=200000, warmup_steps=2000),
@@ -258,7 +263,7 @@ PRESETS: dict[str, Config] = {
             # measure slower at every width tried (benchmarks/probe_conv.py)
         ),
         data=DataConfig(
-            dataset="librispeech", max_frames=2048, max_label_len=512,
+            dataset="librispeech", max_label_len=512,
             batch_size=64, bucket_sizes=(512, 1024, 2048),
             # 960h of features (~220 GB f32) fits neither RAM nor a cache
             # file: featurize on demand (streaming mode)

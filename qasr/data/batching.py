@@ -26,12 +26,36 @@ def pick_bucket(num_frames: int, bucket_sizes: tuple[int, ...]) -> int:
     return bucket_sizes[-1]
 
 
+def feasible_label_len(labels, num_frames: int) -> int:
+    """Longest label prefix CTC can emit in ``num_frames`` frames.
+
+    A prefix of length L needs L + (# adjacent equal pairs in the prefix)
+    frames (each repeat forces a blank between the two emissions). Feeding an
+    infeasible (T, L) pair gives the lattice zero probability mass — the loss
+    saturates at the log-space floor (~1e30) and poisons the whole batch —
+    so truncated utterances must clamp labels to this bound.
+    """
+    labels = np.asarray(labels)
+    if labels.size == 0:
+        return 0
+    # frames needed by each prefix length 1..L (monotonically increasing)
+    repeats = np.concatenate([[0], np.cumsum(labels[1:] == labels[:-1])])
+    needed = np.arange(1, labels.size + 1) + repeats
+    return int(np.searchsorted(needed, num_frames, side="right"))
+
+
 def make_batch(
     examples: list,
     bucket: int,
     max_label_len: int,
 ) -> Batch:
-    """Pad a list of (features [T,F,4], labels [L]) examples to static shapes."""
+    """Pad a list of (features [T,F,4], labels [L]) examples to static shapes.
+
+    Features longer than the bucket and labels longer than ``max_label_len``
+    are truncated; labels are additionally clamped to the CTC-feasible length
+    for the (possibly truncated) frame count, with a warning — an infeasible
+    pair would train on a ~1e30 loss.
+    """
     b = len(examples)
     f = examples[0][0].shape[1]
     ncomp = examples[0][0].shape[2]
@@ -39,13 +63,28 @@ def make_batch(
     labels = np.zeros((b, max_label_len), np.int32)
     flens = np.zeros((b,), np.int32)
     llens = np.zeros((b,), np.int32)
+    clamped = 0
     for n, (x, y) in enumerate(examples):
         t = min(x.shape[0], bucket)
         l = min(len(y), max_label_len)
+        feasible = feasible_label_len(y[:l], t)
+        if feasible < l:
+            clamped += 1
+            l = feasible
         feats[n, :t] = x[:t]
         labels[n, :l] = y[:l]
         flens[n] = t
         llens[n] = l
+    if clamped:
+        import warnings
+
+        warnings.warn(
+            f"make_batch: clamped labels of {clamped}/{b} utterances to the "
+            f"CTC-feasible length for bucket={bucket} frames (utterance longer "
+            "than the top bucket?) — raise data.bucket_sizes to train on full "
+            "transcripts",
+            stacklevel=2,
+        )
     return Batch(
         features=feats,
         feature_lengths=flens,
@@ -177,10 +216,16 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        item = self._q.get()
-        if isinstance(item, _PrefetchError):
-            raise RuntimeError("prefetch thread failed") from item.error
-        return item
+        # after a producer failure the thread has exited, so the queue would
+        # never fill again — keep the error sticky and re-raise instead of
+        # blocking forever on q.get()
+        failed = getattr(self, "_failed", None)
+        if failed is None:
+            item = self._q.get()
+            if not isinstance(item, _PrefetchError):
+                return item
+            self._failed = failed = item
+        raise RuntimeError("prefetch thread failed") from failed.error
 
     def close(self):
         self._stop.set()

@@ -205,7 +205,6 @@ class TimitDataset:
             raise FileNotFoundError(f"no TIMIT utterances under {root!r} for {split!r}")
 
     def _index(self, split: str) -> list[TimitUtterance]:
-        top = "train" if split == "train" else "test"
         utts = self._index_with(split, standard_dev=True)
         if split == "dev" and not utts:
             utts = self._index_with(split, standard_dev=False)
@@ -215,9 +214,6 @@ class TimitDataset:
         top = "train" if split == "train" else "test"
         utts = []
         for dirpath, _, files in os.walk(self.root):
-            if os.path.basename(os.path.dirname(dirpath)).lower() not in (top,):
-                # speaker dirs sit two levels under train/test
-                pass
             for fn in files:
                 if not fn.lower().endswith(".wav"):
                     continue

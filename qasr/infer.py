@@ -180,18 +180,23 @@ class Transcriber:
     def transcribe_file(self, path: str, *, fold: bool = False):
         """Transcribe one audio file (NIST SPHERE / RIFF wav / FLAC)."""
         if path.lower().endswith(".flac"):
-            from qasr.native import flac_decode_native
+            from qasr.native import flac_decode_native, flac_probe
 
             samples, rate = flac_decode_native(path)
             samples = samples[:, 0]  # [n, channels] -> mono
+            # the native decoder returns samples at the stream's bit depth;
+            # normalize by the actual full-scale value (8/24-bit streams would
+            # otherwise come out 256x too quiet / loud)
+            scale = float(2 ** (flac_probe(path)["bps"] - 1))
         else:
             from qasr.data.timit import read_sphere
 
             samples, rate = read_sphere(path)
+            scale = 32768.0  # SPHERE/RIFF path is 16-bit PCM
         if rate != self.cfg.data.sample_rate:
             raise ValueError(
                 f"{path!r} is {rate} Hz but the model expects "
                 f"{self.cfg.data.sample_rate} Hz (no resampler in qasr)"
             )
-        wav = samples.astype(np.float32) / 32768.0
+        wav = samples.astype(np.float32) / scale
         return self.transcribe(wav, fold=fold)

@@ -199,8 +199,10 @@ def flac_decode_native(path: str) -> tuple[np.ndarray, int]:
         cap = info["n_samples"] * info["channels"]
     else:
         # STREAMINFO total unknown: bound by bitstream size (compressed FLAC
-        # never expands a sample below one bit, so 8x the byte count covers it)
-        cap = max(os.path.getsize(path) * 8 // max(info["bps"], 1), 4096)
+        # never drops below ~1 bit per sample, so the file's total bit count
+        # bounds the sample count regardless of bps — constant-subframe runs
+        # can far exceed size*8/bps)
+        cap = max(os.path.getsize(path) * 8, 4096)
     out = np.empty((cap,), np.int32)
     got = lib.qasr_flac_decode(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap

@@ -69,13 +69,31 @@ def build_mesh_from_config(cfg: Config):
     n_model = min(m.model_axis, n)
     while n % n_model:
         n_model -= 1
-    return make_mesh(n // n_model, n_model)
+    if m.data_axis == -1:
+        return make_mesh(n // n_model, n_model)
+    # explicit DP extent: take exactly data_axis * model_axis devices (a
+    # subset of the slice is a deliberate choice; overshooting is an error)
+    want = m.data_axis * n_model
+    if want > n:
+        raise ValueError(
+            f"mesh {m.data_axis}x{n_model} needs {want} devices, have {n}"
+        )
+    return make_mesh(m.data_axis, n_model, devices=jax.devices()[:want])
 
 
 
 
 def train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     """Run training to cfg.train.num_steps. Returns (state, last_metrics)."""
+    if cfg.train.debug_nans:
+        from qasr.utils.debug import nan_debug
+
+        with nan_debug():
+            return _train(cfg, metrics_dir=metrics_dir, resume=resume)
+    return _train(cfg, metrics_dir=metrics_dir, resume=resume)
+
+
+def _train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False):
     from qasr.parallel.train import (
         create_sharded_train_state,
         make_sharded_eval_step,
@@ -206,7 +224,9 @@ def evaluate(
     for batch in epoch_iterator(dataset, cfg.data, train=False):
         _check_labels(batch, cfg.model.vocab)
         out = step_fn(params, batch)
-        losses.append(float(out["loss"]))
+        # weight each batch's mean loss by its scored reference tokens so the
+        # epoch loss stays an honest per-token average if batch content varies
+        losses.append((float(out["loss"]), int(np.sum(batch["label_lengths"]))))
         # multi-host: sharded steps return host-local decoded rows; score them
         # against the same host's slice of the (host-replicated) references
         refs = host_rows({k: batch[k] for k in ("labels", "label_lengths")})
@@ -220,7 +240,10 @@ def evaluate(
         errs += e
         total += n
     errs, total = aggregate_per(errs, total)
+    wsum = sum(w for _, w in losses)
     return {
-        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "loss": (
+            sum(l * w for l, w in losses) / wsum if wsum else float("nan")
+        ),
         "per": errs / max(total, 1),
     }

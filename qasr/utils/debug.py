@@ -18,7 +18,9 @@ def nan_debug():
     """Raise on any NaN produced inside jit (slow; debugging only)."""
     import jax
 
-    old = jax.config.read("jax_debug_nans")
+    # contextmanager-backed flags must be read as attributes, not via
+    # config.read() (jax raises AttributeError for those)
+    old = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         yield

@@ -35,11 +35,37 @@ CHIPS = {
 }
 
 
-@contextlib.contextmanager
-def trace(log_dir: str):
-    """Profile a region into `log_dir` (TensorBoard / xprof format)."""
+# Backends whose PJRT plugin does not implement the profiler session; starting
+# a trace there hangs the process (observed on the tunneled axon plugin —
+# docs/end_to_end.md).
+_TRACE_UNSUPPORTED = ("axon",)
+
+
+def trace_supported() -> bool:
     import jax
 
+    return jax.default_backend() not in _TRACE_UNSUPPORTED
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, *, force: bool = False):
+    """Profile a region into `log_dir` (TensorBoard / xprof format).
+
+    On backends without profiler support (see `trace_supported`) this is a
+    warning no-op instead of a hang; `force=True` overrides the guard.
+    """
+    import jax
+
+    if not force and not trace_supported():
+        import warnings
+
+        warnings.warn(
+            f"jax.profiler traces hang on backend {jax.default_backend()!r}; "
+            "trace() is a no-op here (force=True to override)",
+            stacklevel=3,
+        )
+        yield
+        return
     jax.profiler.start_trace(log_dir)
     try:
         yield
@@ -47,16 +73,35 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def steady_state_time(run_chained, *, n_small=5, n_big=25, repeats=3) -> float:
-    """Difference-quotient seconds/step for `run_chained(n) -> wall seconds`."""
+def steady_state_times(runs: dict, *, n_small=5, n_big=25, repeats=3) -> dict:
+    """Interleaved difference-quotient seconds/step for several arms.
+
+    ``runs`` maps name -> run_chained(n) -> wall seconds, or name ->
+    (run_chained, (n_small, n_big)) for per-arm chain lengths. Arms are
+    interleaved ABAB across repeats (shed tunnel/pool drift) and per-arm
+    medians are returned. This is the project's one timing harness —
+    bench.py and the benchmarks/ probes all route through it.
+    """
     import statistics
 
-    est = []
+    norm = {
+        k: (v if isinstance(v, tuple) else (v, (n_small, n_big)))
+        for k, v in runs.items()
+    }
+    est = {k: [] for k in runs}
     for _ in range(repeats):
-        t_small = run_chained(n_small)
-        t_big = run_chained(n_big)
-        est.append((t_big - t_small) / (n_big - n_small))
-    return statistics.median(est)
+        for name, (run, (ns, nb)) in norm.items():
+            t_small = run(ns)
+            t_big = run(nb)
+            est[name].append((t_big - t_small) / (nb - ns))
+    return {k: statistics.median(v) for k, v in est.items()}
+
+
+def steady_state_time(run_chained, *, n_small=5, n_big=25, repeats=3) -> float:
+    """Difference-quotient seconds/step for `run_chained(n) -> wall seconds`."""
+    return steady_state_times(
+        {"arm": run_chained}, n_small=n_small, n_big=n_big, repeats=repeats
+    )["arm"]
 
 
 def qconv_flops(batch, t, f, cin, cout, kh=3, kw=3) -> int:

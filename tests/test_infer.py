@@ -24,7 +24,6 @@ def trained_ckpt(tmp_path_factory):
         "data.dataset": "timit",
         "data.n_mels": "8",
         "data.bucket_sizes": "(32,64)",
-        "data.max_frames": "64",
         "train.checkpoint_dir": ckpt_dir,
     })
     feats = np.zeros((1, 32, 8, 4), np.float32)

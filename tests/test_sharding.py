@@ -45,6 +45,29 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_mesh(3, 2)
 
+    def test_mesh_config_shapes_mesh(self):
+        """MeshConfig.data_axis / model_axis must actually shape the mesh."""
+        from qasr.configs import get_config
+        from qasr.train.loop import build_mesh_from_config
+
+        cfg = get_config("tiny_synthetic")
+        assert build_mesh_from_config(cfg).shape == {"data": 8, "model": 1}
+        cfg2 = cfg.override(**{"mesh.model_axis": "2"})
+        assert build_mesh_from_config(cfg2).shape == {"data": 4, "model": 2}
+        # explicit DP extent: mesh takes exactly data_axis*model_axis devices
+        cfg3 = cfg.override(**{"mesh.data_axis": "2", "mesh.model_axis": "2"})
+        m = build_mesh_from_config(cfg3)
+        assert m.shape == {"data": 2, "model": 2}
+        assert len(m.devices.reshape(-1)) == 4
+        # overshooting the slice is an error, not silent clamping
+        cfg4 = cfg.override(**{"mesh.data_axis": "16"})
+        with pytest.raises(ValueError, match="needs 16 devices"):
+            build_mesh_from_config(cfg4)
+        # model_axis clamps to a divisor of the device count (presets run
+        # anywhere), and data_axis=-1 takes the remainder
+        cfg5 = cfg.override(**{"mesh.model_axis": "3"})
+        assert build_mesh_from_config(cfg5).shape == {"data": 4, "model": 2}
+
 
 class TestShardingRules:
     def test_kernel_sharded_on_cout(self, cfg, batch):

@@ -65,6 +65,44 @@ class TestBatching:
         assert count >= 2
         assert len(shapes) <= len(cfg.bucket_sizes)
 
+    def test_truncation_clamps_labels_to_ctc_feasible(self):
+        """A bucket-truncated utterance must not yield an infeasible (T, L)
+        pair: CTC needs L + repeats(labels) <= T or the lattice has zero mass
+        and the loss saturates near the log-space floor (~1e30)."""
+        import jax.numpy as jnp
+
+        from qasr.ops.ctc import ctc_loss
+
+        rng = np.random.RandomState(0)
+        t_bucket, n_labels = 16, 40  # 40 labels cannot fit in 16 frames
+        x = rng.randn(100, 8, 4).astype(np.float32)
+        y = rng.randint(1, 12, size=(n_labels,))
+        y[5] = y[4]  # adjacent repeat: costs one extra frame
+        with pytest.warns(UserWarning, match="CTC-feasible"):
+            batch = make_batch([(x, y)], t_bucket, 64)
+        l = int(batch["label_lengths"][0])
+        assert 0 < l < n_labels
+        repeats = int(np.sum(batch["labels"][0, 1:l] == batch["labels"][0, : l - 1]))
+        assert l + repeats <= t_bucket
+
+        logits = jnp.asarray(rng.randn(1, t_bucket, 13).astype(np.float32))
+        loss = ctc_loss(
+            logits,
+            jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["feature_lengths"]),
+            jnp.asarray(batch["label_lengths"]),
+        )
+        assert float(np.max(np.asarray(loss))) < 1e4  # not the 1e30 floor
+
+    def test_feasible_label_len_exact(self):
+        from qasr.data.batching import feasible_label_len
+
+        assert feasible_label_len([], 5) == 0
+        assert feasible_label_len([1, 2, 3], 3) == 3
+        assert feasible_label_len([1, 1, 2], 3) == 2  # repeat needs a blank
+        assert feasible_label_len([1, 1, 2], 4) == 3
+        assert feasible_label_len([7] * 10, 5) == 3  # 3 emits + 2 blanks
+
     def test_lengths_consistent(self):
         ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=16, seed=1)
         cfg = get_config("tiny_synthetic").data
@@ -230,6 +268,10 @@ class TestPrefetcher:
 
         p = Prefetcher(Boom(), depth=1)
         try:
+            with pytest.raises(RuntimeError, match="prefetch thread failed"):
+                next(p)
+            # the producer thread has exited: a second __next__ must re-raise
+            # immediately (sticky error), not block on the empty queue forever
             with pytest.raises(RuntimeError, match="prefetch thread failed"):
                 next(p)
         finally:
