@@ -28,11 +28,15 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 NEG_INF = -1e30
-_HASH_MULT = jnp.uint32(1000003)
+# numpy scalar, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() bring-up
+# (tests/test_multihost.py imports qasr before joining the process group)
+_HASH_MULT = np.uint32(1000003)
 
 
 def _logaddexp(a, b):
@@ -60,6 +64,7 @@ def _beam_search_single(
     beam_width: int,
     blank_id: int,
     max_len: int,
+    prune_logp: float | None,
 ):
     t_total, v = logp.shape
     w = beam_width
@@ -90,6 +95,14 @@ def _beam_search_single(
         ext_pnb = base + logp_t[None, :]
         ext_pnb = jnp.where(tokens[None, :] == blank_id, NEG_INF, ext_pnb)
         ext_pnb = jnp.where(lens[:, None] >= max_len, NEG_INF, ext_pnb)
+        if prune_logp is not None:
+            # classic prefix-beam emission pruning (reference backends expose
+            # this as the decoder's cutoff knob): tokens whose frame log-prob
+            # is below the threshold never extend a prefix. Blank/repeat stay
+            # paths are unaffected. Same rule in the native C++ twin.
+            ext_pnb = jnp.where(
+                logp_t[None, :] < prune_logp, NEG_INF, ext_pnb
+            )
         ext_hash = hashes[:, None] * _HASH_MULT + (tokens[None, :].astype(jnp.uint32) + 2)
 
         # --- merge extend-candidates that equal an existing beam prefix ---
@@ -148,7 +161,8 @@ def _beam_search_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_width", "blank_id", "max_len")
+    jax.jit,
+    static_argnames=("beam_width", "blank_id", "max_len", "prune_logp"),
 )
 def ctc_beam_search_decode(
     logits: jnp.ndarray,
@@ -157,12 +171,15 @@ def ctc_beam_search_decode(
     beam_width: int = 16,
     blank_id: int = 0,
     max_len: int = 128,
+    prune_logp: float | None = None,
 ):
     """Batched CTC prefix beam search.
 
     Args:
       logits: ``[B, T, V]`` unnormalized scores.
       logit_lengths: ``[B]`` valid frame counts.
+      prune_logp: if set, tokens with frame log-prob below this never extend
+        a prefix (``cfg.decode.beam_prune_logp``).
 
     Returns:
       (sequences ``[B, max_len]`` padded with -1, lengths ``[B]``,
@@ -174,6 +191,7 @@ def ctc_beam_search_decode(
         beam_width=beam_width,
         blank_id=blank_id,
         max_len=max_len,
+        prune_logp=prune_logp,
     )
     seq, lens, score, _, _, _ = jax.vmap(fn)(logp, logit_lengths)
     return seq, lens, score

@@ -126,6 +126,7 @@ class Transcriber:
                 beam_width=self.cfg.decode.beam_width,
                 blank_id=self.cfg.decode.blank_id,
                 max_len=int(features.shape[1]),
+                prune_logp=self.cfg.decode.beam_prune_logp,
             )
         else:
             seq, lens = ctc_greedy_decode(

@@ -93,6 +93,7 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_float,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
@@ -126,6 +127,7 @@ def ctc_beam_decode_native(
     beam_width: int = 16,
     blank_id: int = 0,
     max_len: int = 128,
+    prune_logp: float | None = None,
 ):
     """Host-side CTC prefix beam search (qasr/native/beam_decode.cpp).
 
@@ -158,6 +160,7 @@ def ctc_beam_decode_native(
         beam_width,
         blank_id,
         max_len,
+        ctypes.c_float(-3e38 if prune_logp is None else prune_logp),
         out_seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

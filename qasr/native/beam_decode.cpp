@@ -46,8 +46,8 @@ struct Hyp {
 };
 
 void decode_one(const float* logits, int T, int V, int length, int beam_width,
-                int blank_id, int max_len, int32_t* out_seq, int32_t* out_len,
-                float* out_score) {
+                int blank_id, int max_len, float prune_logp, int32_t* out_seq,
+                int32_t* out_len, float* out_score) {
   std::vector<TrieNode> trie;
   trie.reserve(static_cast<size_t>(beam_width) * (length > 0 ? length : 1));
 
@@ -99,6 +99,9 @@ void decode_one(const float* logits, int T, int V, int length, int beam_width,
       if (plen >= max_len) continue;
       for (int v = 0; v < V; ++v) {
         if (v == blank_id) continue;
+        // emission pruning (same rule as the device beam's prune_logp):
+        // low-probability tokens never extend a prefix
+        if (logp[v] < prune_logp) continue;
         // after a repeat token, only the blank-ending mass extends
         float base = (v == last) ? h.pb : ptot;
         if (base <= kNegInf / 2) continue;
@@ -147,11 +150,13 @@ void decode_one(const float* logits, int T, int V, int length, int beam_width,
 extern "C" {
 
 // logits: [B, T, V] raw (log-softmax applied internally);
-// lengths: [B]; out_seqs: [B, max_len] (-1 padded); out_lens/out_scores: [B].
+// lengths: [B]; prune_logp: drop extend-candidates whose frame log-prob is
+// below this (pass <= -1e30 to disable); out_seqs: [B, max_len] (-1 padded);
+// out_lens/out_scores: [B].
 void qasr_ctc_beam_decode(const float* logits, const int32_t* lengths, int B,
                           int T, int V, int beam_width, int blank_id,
-                          int max_len, int32_t* out_seqs, int32_t* out_lens,
-                          float* out_scores) {
+                          int max_len, float prune_logp, int32_t* out_seqs,
+                          int32_t* out_lens, float* out_scores) {
   int n_threads = std::min<int>(
       B, std::max(1u, std::thread::hardware_concurrency()));
   std::vector<std::thread> pool;
@@ -161,7 +166,8 @@ void qasr_ctc_beam_decode(const float* logits, const int32_t* lengths, int B,
       for (int b = w; b < B; b += n_threads) {
         decode_one(logits + static_cast<int64_t>(b) * T * V, T, V,
                    std::min<int32_t>(lengths[b], T), beam_width, blank_id,
-                   max_len, out_seqs + static_cast<int64_t>(b) * max_len,
+                   max_len, prune_logp,
+                   out_seqs + static_cast<int64_t>(b) * max_len,
                    out_lens + b, out_scores + b);
       }
     });

@@ -1,0 +1,410 @@
+"""Fused quaternion conv2d, frequency-major — the winning-shape Pallas kernel.
+
+Native-delegation obligation R1 (SURVEY.md §2b): the reference's hot op is a
+real conv2d on the 4x-expanded block kernel (16 block products; SURVEY.md
+§3.2, mount empty). qasr's XLA `fast10` path already cuts that to 10 MXU
+products but pays HBM round-trips for the 6 two-term input combos and the
+10-product recombination. This kernel removes those and the layout taxes by
+choosing the data layout around the TPU's tiling rules:
+
+* **F-major, component-stacked activations** ``[B, 4, F, T, C]``: the
+  frequency taps (df) are *leading-dimension* slices of the flattened (f, t)
+  row space — free, no sublane relayout — because T tiles are a sublane
+  multiple; the component slices are buffer indexes instead of lane slices;
+  and the layout is identical on input and output, so a stack of conv layers
+  chains with ZERO repacking between layers (the reference-layout wrapper
+  `qconv2d_ft` transposes once at entry/exit for parity tests).
+* **Zero padding waste**: each MXU dot consumes exactly ``f_out * TT`` rows;
+  nothing is computed for F pad columns.
+* One halo-window DMA per (batch, time) tile, manually double-buffered; the
+  kh time-tap shifts are in-VMEM sublane slices whose relayout cost measures
+  as hidden under the MXU dots (benchmarks: ablation modes within noise of
+  the dots-only skeleton).
+* The 10 Hamilton input combos (quaternion.py) are formed on the VPU once
+  per (dt, product) and reused across the kw frequency taps; all kh*kw*10
+  dots accumulate into 4 running f32 component sums.
+* The weight-combination tensor ``wc [10, S, C, TN]`` stays resident in VMEM
+  across the whole (batch, time) grid — weights are never 4x-expanded.
+
+The same kernel body computes dx: a transposed quaternion conv is the same
+bilinear scheme with the roles rotated — input combos from OUT_COMBO columns,
+weights flip-transposed (`wc_dx`), output recombination from X_COMBO columns.
+dW delegates to the `jax.linear_transpose` of the XLA 10-product conv on the
+same stacked layout (10 correlation convs, contraction dim B*F*T — already
+MXU-shaped, no transposes).
+
+Constraints (wrapper-enforced; the layer router falls back to XLA otherwise):
+stride 1, odd kernels, SAME padding, bf16 compute, C % 128 == 0 and
+Cout % 128 == 0 (MXU lane tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qasr.ops.quaternion import OUT_COMBO, W_COMBO, X_COMBO
+
+_TT = 32   # time rows per tile (sublane multiple for bf16)
+_TN = 128  # output-channel tile (one MXU lane group)
+
+# Signed term tables for the two directions. Forward: input combos from
+# X_COMBO rows (all +1), outputs from OUT_COMBO rows. dx: input combos from
+# OUT_COMBO columns, outputs from X_COMBO columns (all +1).
+_FWD_IN = tuple(
+    tuple((int(a), 1) for a in np.nonzero(X_COMBO[p])[0]) for p in range(10)
+)
+_FWD_OUT = tuple(
+    tuple(
+        (int(b), int(OUT_COMBO[b, p])) for b in range(4) if OUT_COMBO[b, p] != 0
+    )
+    for p in range(10)
+)
+_DX_IN = _FWD_OUT
+_DX_OUT = _FWD_IN
+
+
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
+def _pad8(v: int) -> int:
+    """Halo rows rounded up so the DMA window length stays 8-row aligned."""
+    return _round_up(v, 8)
+
+
+def _ft_kernel(
+    xp_hbm,   # [B, 4, Fp, T_pad + pad8(kh-1), C] in HBM (ANY)
+    wc_hbm,   # [P, S, C, N_pad] in HBM (ANY)
+    o_ref,    # [1, 4, f_out, TT, TN] VMEM block
+    xbuf,     # scratch [2, 4, Fp, TT + pad8(kh-1), C]
+    wbuf,     # scratch [P, S, C, TN]
+    xsems,    # DMA sems [2]
+    wsem,     # DMA sem
+    *,
+    kh: int,
+    kw: int,
+    f_out: int,
+    in_terms,
+    out_terms,
+):
+    j = pl.program_id(0)
+    b = pl.program_id(1)
+    i = pl.program_id(2)
+    nj = pl.num_programs(0)
+    nb = pl.num_programs(1)
+    ni = pl.num_programs(2)
+
+    fp = xbuf.shape[2]
+    win = xbuf.shape[3]
+    cq = xbuf.shape[4]
+    tn = wbuf.shape[3]
+    n_prods = len(in_terms)
+    tt = win - _pad8(kh - 1)
+    m = f_out * tt
+
+    li = (j * nb + b) * ni + i
+    total = nj * nb * ni
+    slot = lax.rem(li, 2)
+
+    def x_dma(slot_, b_, i_):
+        # one halo window [4, Fp, TT + pad8(kh-1), C] per tile: DMA offsets
+        # on the second-minor T dim must be 8-aligned, so the window starts
+        # at i*TT and the kh time-tap shifts are in-VMEM row slices below
+        return pltpu.make_async_copy(
+            xp_hbm.at[b_, :, :, pl.ds(i_ * tt, win), :],
+            xbuf.at[slot_],
+            xsems.at[slot_],
+        )
+
+    # weights: refresh only when the N tile changes (start of each j pass);
+    # exposed twice per conv — negligible, and it buys single-buffered
+    # residency (an auto-pipelined BlockSpec would double-buffer 2x the VMEM).
+    w_dma = pltpu.make_async_copy(
+        wc_hbm.at[:, :, :, pl.ds(j * tn, tn)], wbuf, wsem
+    )
+
+    @pl.when(li == 0)
+    def _():
+        x_dma(0, b, i).start()
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        w_dma.start()
+        w_dma.wait()
+
+    nli = li + 1
+    i2 = lax.rem(nli, ni)
+    t2 = nli // ni
+    b2 = lax.rem(t2, nb)
+
+    @pl.when(nli < total)
+    def _():
+        x_dma(1 - slot, b2, i2).start()
+
+    x_dma(slot, b, i).wait()
+
+    acc = [None, None, None, None]
+    for dt in range(kh):
+        # time-tap shift: an unaligned sublane slice (Mosaic relayout roll);
+        # measured hidden under the MXU dots at these shapes
+        comp = [
+            xbuf[slot, a][:, dt : dt + tt, :].reshape(fp * tt, cq)
+            for a in range(4)
+        ]
+        for p in range(n_prods):
+            cmb = None
+            for a, sgn in in_terms[p]:
+                v = comp[a]
+                if cmb is None:
+                    cmb = v if sgn > 0 else -v
+                else:
+                    cmb = cmb + v if sgn > 0 else cmb - v
+            for df in range(kw):
+                lhs = cmb[df * tt : df * tt + m]
+                prod = jnp.dot(
+                    lhs,
+                    wbuf[p, dt * kw + df],
+                    preferred_element_type=jnp.float32,
+                )
+                for bo, sgn in out_terms[p]:
+                    if acc[bo] is None:
+                        acc[bo] = prod if sgn > 0 else -prod
+                    else:
+                        acc[bo] = acc[bo] + prod if sgn > 0 else acc[bo] - prod
+
+    for bo in range(4):
+        o_ref[0, bo] = acc[bo].reshape(f_out, tt, tn).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "kw", "f_out", "in_terms", "out_terms")
+)
+def _ft_conv_raw(xp, wc, *, kh, kw, f_out, in_terms, out_terms):
+    """xp: [B, 4, Fp, T_pad + pad8(kh-1), C] (T_pad % TT == 0);
+    wc: [P, kh*kw, C, N_pad] -> stacked [B, 4, f_out, T_pad, N_pad]."""
+    bsz, _, fp, tp_ext, cq = xp.shape
+    t_pad = tp_ext - _pad8(kh - 1)
+    n_prods, s, _, n_pad = wc.shape
+    grid = (n_pad // _TN, bsz, t_pad // _TT)
+
+    kernel = functools.partial(
+        _ft_kernel,
+        kh=kh,
+        kw=kw,
+        f_out=f_out,
+        in_terms=in_terms,
+        out_terms=out_terms,
+    )
+    flops = 2 * n_prods * s * bsz * t_pad * f_out * cq * n_pad
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, f_out, _TT, _TN),
+            lambda j, b, i: (b, 0, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, 4, f_out, t_pad, n_pad), xp.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, fp, _TT + _pad8(kh - 1), cq), xp.dtype),
+            pltpu.VMEM((n_prods, s, cq, _TN), wc.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xp.size * xp.dtype.itemsize * (n_pad // _TN)
+            + wc.size * wc.dtype.itemsize
+            + 4 * bsz * t_pad * f_out * n_pad * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, wc)
+
+
+def _prep_input(x_st, kh, kw):
+    """SAME-pad F and T and round T up to tile + aligned halo window. One
+    XLA pad pass (fuses with the producing op); the kernel's per-tile DMA
+    windows then start 8-row aligned as Mosaic requires.
+
+    x_st: [B, 4, F, T, C] -> [B, 4, F + kw - 1, T_pad + pad8(kh - 1), C].
+    """
+    b, _, f, t, cq = x_st.shape
+    pw = (kw - 1) // 2
+    ph = (kh - 1) // 2
+    t_pad = max(_round_up(t, _TT), _TT)
+    return jnp.pad(
+        x_st,
+        (
+            (0, 0),
+            (0, 0),
+            (pw, pw),
+            (ph, t_pad + _pad8(kh - 1) - t - ph),
+            (0, 0),
+        ),
+    )
+
+
+def supported(cin: int, cout: int, kernel_size, padding, strides) -> bool:
+    """Whether the fused F-major kernel handles this conv configuration."""
+    kh, kw = kernel_size
+    return (
+        padding == "SAME"
+        and (strides is None or tuple(strides) == (1, 1))
+        and kh % 2 == 1
+        and kw % 2 == 1
+        and cin % 128 == 0
+        and cout % 128 == 0
+    )
+
+
+def _ft_fwd_impl(x_st, w):
+    """x_st: [B, 4, F, T, Cin] stacked F-major; w: [4, kh, kw, Cin, Cout]."""
+    b, _, f, t, cin = x_st.shape
+    _, kh, kw, _, cout = w.shape
+    xp = _prep_input(x_st, kh, kw)
+
+    wc = jnp.einsum(
+        "askn,pa->pskn",
+        w.reshape(4, kh * kw, cin, cout),
+        jnp.asarray(W_COMBO, w.dtype),
+    ).astype(x_st.dtype)  # [10, S, C, N]
+
+    out = _ft_conv_raw(
+        xp, wc, kh=kh, kw=kw, f_out=f, in_terms=_FWD_IN, out_terms=_FWD_OUT
+    )  # [B, 4, F, T_pad, N]
+    return out[:, :, :, :t, :]
+
+
+def _ft_dx_impl(dy_st, w):
+    """Transposed conv: dy [B, 4, F, T, Cout] -> dx [B, 4, F, T, Cin]."""
+    b, _, f, t, _ = dy_st.shape
+    _, kh, kw, cin, cout = w.shape
+    dyp = _prep_input(dy_st, kh, kw)
+
+    # flip taps, swap Cin/Cout: wc_dx[p] = flip_s(Wc_p)^T
+    wc = jnp.einsum(
+        "ahwkn,pa->phwnk", w, jnp.asarray(W_COMBO, w.dtype)
+    )  # [10, kh, kw, N, C]
+    wc = wc[:, ::-1, ::-1].reshape(10, kh * kw, cout, cin).astype(dy_st.dtype)
+
+    out = _ft_conv_raw(
+        dyp, wc, kh=kh, kw=kw, f_out=f, in_terms=_DX_IN, out_terms=_DX_OUT
+    )
+    return out[:, :, :, :t, :]
+
+
+def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
+    """XLA 10-product quaternion conv on the stacked F-major layout.
+
+    Same bilinear scheme as qasr.ops.qlinalg.qconv_fast10 but consuming
+    ``[B, 4, F, T, C]`` directly (component slices are leading-dim indexing,
+    no packed-layout reshapes). Used as the dW transpose source and as the
+    XLA parity twin of the Pallas kernel.
+    """
+    _, kh, kw, cin, cout = w.shape
+    # w's kernel dims are (time, freq); the stacked layout is (F, T)-major,
+    # so swap them to match conv dimension numbers H=F, W=T
+    wc = jnp.einsum(
+        "a...kn,pa->p...kn",
+        jnp.swapaxes(w, 1, 2),
+        jnp.asarray(W_COMBO, w.dtype),
+    ).astype(x_st.dtype)  # [10, kw, kh, Cin, Cout]
+    sample = x_st[:, 0]
+    dn = lax.conv_dimension_numbers(
+        sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
+    )
+    prods = []
+    for p in range(10):
+        terms = np.nonzero(X_COMBO[p])[0]
+        xc = x_st[:, int(terms[0])]
+        if len(terms) == 2:
+            xc = xc + x_st[:, int(terms[1])]
+        prods.append(
+            lax.conv_general_dilated(
+                xc, wc[p], (1, 1), padding, dimension_numbers=dn
+            )
+        )
+    outs = []
+    for bo in range(4):
+        acc = None
+        for p in range(10):
+            c = int(OUT_COMBO[bo, p])
+            if c == 0:
+                continue
+            term = prods[p] if c > 0 else -prods[p]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=1)  # [B, 4, F, T, Cout]
+
+
+def _ft_dw_impl(x_st, dy_st, w_shape, w_dtype):
+    """dW via the linear transpose of the XLA 10-product conv on the stacked
+    layout (10 correlation convs whose contraction dim is B*F*T)."""
+    w_abstract = jax.ShapeDtypeStruct(w_shape, w_dtype)
+    (dw,) = jax.linear_transpose(
+        lambda w_: qconv_fast10_stacked(x_st, w_), w_abstract
+    )(dy_st)
+    return dw
+
+
+@jax.custom_vjp
+def qconv2d_ft_stacked(x_st: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Fused F-major Pallas quaternion conv2d (stride 1, SAME, odd kernels).
+
+    x_st: ``[B, 4, F, T, Cin]`` component-stacked, frequency-major. w:
+    ``[4, kh, kw, Cin, Cout]``. Returns ``[B, 4, F, T, Cout]`` — the same
+    layout, so conv stacks chain with no repacking.
+    """
+    return _ft_fwd_impl(x_st, w)
+
+
+def _qconv2d_ft_fwd(x_st, w):
+    return _ft_fwd_impl(x_st, w), (x_st, w)
+
+
+def _qconv2d_ft_bwd(res, dy):
+    x_st, w = res
+    dx = _ft_dx_impl(dy, w)
+    dw = _ft_dw_impl(x_st, dy, w.shape, w.dtype)
+    return dx, dw
+
+
+qconv2d_ft_stacked.defvjp(_qconv2d_ft_fwd, _qconv2d_ft_bwd)
+
+
+def pack_to_stacked(x_ft: jnp.ndarray) -> jnp.ndarray:
+    """[B, F, T, 4C] packed -> [B, 4, F, T, C] stacked (one XLA transpose;
+    in models this happens once at conv-stack entry, not per layer)."""
+    b, f, t, c4 = x_ft.shape
+    return jnp.moveaxis(x_ft.reshape(b, f, t, 4, c4 // 4), 3, 1)
+
+
+def stacked_to_pack(x_st: jnp.ndarray) -> jnp.ndarray:
+    """[B, 4, F, T, C] stacked -> [B, F, T, 4C] packed."""
+    b, _, f, t, cq = x_st.shape
+    return jnp.moveaxis(x_st, 1, 3).reshape(b, f, t, 4 * cq)
+
+
+def qconv2d_ft(x_ft: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Reference-layout wrapper: packed F-major ``[B, F, T, 4Cin]`` in/out.
+
+    Pays a packed<->stacked transpose on each side; model code should chain
+    `qconv2d_ft_stacked` instead and convert once per conv stack.
+    """
+    return stacked_to_pack(qconv2d_ft_stacked(pack_to_stacked(x_ft), w))

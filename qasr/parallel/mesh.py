@@ -55,10 +55,27 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def initialize_multihost(coordinator: str | None = None):
-    """DCN bootstrap for multi-host slices (no-op on a single process)."""
-    if jax.process_count() > 1 or coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def initialize_multihost(
+    coordinator: str | None = None,
+    *,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """DCN bootstrap for multi-host slices (no-op on a single process).
+
+    On TPU pods the runtime discovers ``num_processes``/``process_id`` from
+    the environment; pass them explicitly for manual bring-up (e.g. the
+    2-process CPU parity test in tests/test_multihost.py).
+    """
+    # check `coordinator` first: jax.process_count() initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    if coordinator or jax.process_count() > 1:
+        kwargs = {}
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -190,6 +190,7 @@ def make_sharded_beam_decode_step(cfg: Config, mesh: Mesh, state_shardings, samp
             beam_width=cfg.decode.beam_width,
             blank_id=cfg.decode.blank_id,
             max_len=int(cfg.data.max_label_len),
+            prune_logp=cfg.decode.beam_prune_logp,
         )
         return {
             "loss": loss,

@@ -132,6 +132,7 @@ def make_beam_eval_step(cfg: Config):
             beam_width=cfg.decode.beam_width,
             blank_id=cfg.decode.blank_id,
             max_len=int(cfg.data.max_label_len),
+            prune_logp=cfg.decode.beam_prune_logp,
         )
         return {
             "loss": loss,

@@ -1,0 +1,102 @@
+"""Worker entry + shared workload for the 2-process multi-host parity test.
+
+Run as ``python tests/multihost_worker.py <pid> <nproc> <port> <out.json>``
+from tests/test_multihost.py. Each process brings up 4 fake CPU devices and
+joins a jax.distributed world of 8, then runs the exact same workload the
+single-process arm runs on its local 8-device mesh: sharded DP×TP training
+steps through the multi-host batch adapter, then a sharded beam-decode
+evaluation whose PER counters aggregate across processes
+(SURVEY.md §2c P6, §4 test 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_workload(num_steps: int = 4):
+    """Train + beam-eval the tiny synthetic config on a (data=4, model=2)
+    mesh built from all global devices. Works single- or multi-process:
+    every process sees the same host-replicated global batches (same dataset
+    walk), and the step adapters slice per-host rows internally."""
+    import jax
+
+    from qasr.configs import get_config
+    from qasr.data import SyntheticDataset, epoch_iterator
+    from qasr.parallel import (
+        create_sharded_train_state,
+        make_mesh,
+        make_sharded_beam_decode_step,
+        make_sharded_train_step,
+    )
+    from qasr.train.loop import evaluate
+    from qasr.train.step import optax_global_norm
+
+    cfg = get_config("tiny_synthetic")
+    ds = SyntheticDataset(
+        vocab=cfg.model.vocab, n_mels=cfg.data.n_mels, num_examples=16, seed=0
+    )
+    batches = []
+    while len(batches) < num_steps:
+        for b in epoch_iterator(ds, cfg.data, train=False):
+            batches.append(b)
+            if len(batches) == num_steps:
+                break
+
+    mesh = make_mesh(-1, 2)
+    state, shardings = create_sharded_train_state(
+        cfg, jax.random.PRNGKey(0), batches[0]["features"], mesh
+    )
+    train_step = make_sharded_train_step(cfg, mesh, shardings, batches[0])
+    losses = []
+    for b in batches:
+        state, m = train_step(state, b)
+        losses.append(float(m["loss"]))
+
+    pnorm = float(jax.jit(optax_global_norm)(state.params))
+
+    beam_step = make_sharded_beam_decode_step(cfg, mesh, shardings, batches[0])
+    ev = evaluate(cfg, state.params, ds, None, beam_step=beam_step)
+    return {
+        "process_count": jax.process_count(),
+        "losses": losses,
+        "pnorm": pnorm,
+        "eval_loss": ev["loss"],
+        "per": ev["per"],
+    }
+
+
+def main():
+    pid, nproc, port, out_path = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        sys.argv[3],
+        sys.argv[4],
+    )
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_threefry_partitionable", True)
+
+    from qasr.parallel import initialize_multihost
+
+    initialize_multihost(
+        f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 4
+    assert jax.device_count() == 4 * nproc
+
+    result = run_workload()
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

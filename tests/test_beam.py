@@ -193,3 +193,51 @@ class TestNativeBeam:
             logits, jnp.array([10, 6]), beam_width=4, max_len=10
         )
         assert seq.shape == (2, 10) and lens.shape == (2,)
+
+
+class TestProtocolWidth:
+    """Reference decode protocol: beam_width=100 at the TIMIT vocab V=62
+    (preset `configs/config.py` timit presets). The [W,V,W] merge and top_k
+    must hold up at protocol width, matching the exact-merge C++ decoder on
+    the same logits."""
+
+    def _parity(self, prune, seed=17, b=3, t=80, v=62, w=100, max_len=60):
+        from qasr.native import ctc_beam_decode_native
+
+        logits = jax.random.normal(jax.random.PRNGKey(seed), (b, t, v)) * 2.0
+        lens = jnp.array([t, t - 7, t // 2])
+        d_seq, d_lens, d_score = ctc_beam_search_decode(
+            logits, lens, beam_width=w, max_len=max_len, prune_logp=prune
+        )
+        n_seq, n_lens, n_score = ctc_beam_decode_native(
+            np.asarray(logits, np.float32),
+            np.asarray(lens),
+            beam_width=w,
+            max_len=max_len,
+            prune_logp=prune,
+        )
+        for i in range(b):
+            assert int(d_lens[i]) == int(n_lens[i]), (i, d_lens, n_lens)
+            li = int(d_lens[i])
+            np.testing.assert_array_equal(
+                np.asarray(d_seq[i, :li]), n_seq[i, :li]
+            )
+            np.testing.assert_allclose(
+                float(d_score[i]), float(n_score[i]), rtol=1e-3, atol=2e-3
+            )
+
+    def test_w100_v62_matches_native(self):
+        self._parity(prune=None)
+
+    def test_w100_v62_with_pruning_matches_native(self):
+        # -3.0 actually prunes at V=62 (mean logp ~ -4.4), so this exercises
+        # the pruning branch in both decoders, not just the knob plumbing
+        self._parity(prune=-3.0, seed=23)
+
+    def test_pruning_drops_low_prob_extensions(self):
+        # an extreme threshold leaves only blank/repeat paths -> empty prefix
+        logits = jax.random.normal(jax.random.PRNGKey(2), (1, 20, 8))
+        seq, lens, _ = ctc_beam_search_decode(
+            logits, jnp.array([20]), beam_width=8, max_len=20, prune_logp=1e9
+        )
+        assert int(lens[0]) == 0

@@ -1,0 +1,108 @@
+"""Real 2-process multi-host execution test (SURVEY.md §2c P6, §4 test 6).
+
+Spawns two OS processes that join one jax.distributed world (gloo CPU
+collectives, 4 fake devices each = 8 global) and run sharded DP×TP training
+plus beam-decode evaluation through the multi-host batch adapter
+(`qasr.parallel.train._multihost_adapter`), exercising `host_rows`,
+`global↔host-local` conversion, and `aggregate_per`'s process_allgather
+branch. Results must match the identical workload run single-process on this
+test runner's own 8-device mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+WORKER = REPO / "tests" / "multihost_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def multihost_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in range(2):
+        out = tmp / f"r{pid}.json"
+        procs.append(
+            (
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        str(WORKER),
+                        str(pid),
+                        "2",
+                        str(port),
+                        str(out),
+                    ],
+                    cwd=REPO,
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                ),
+                out,
+            )
+        )
+    results = []
+    logs = []
+    for p, out in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q, _ in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+        if p.returncode != 0 or not out.exists():
+            raise AssertionError(
+                f"worker rc={p.returncode}\n--- worker log ---\n{logs[-1][-4000:]}"
+            )
+        results.append(json.loads(out.read_text()))
+    return results
+
+
+class TestTwoProcessParity:
+    def test_both_processes_agree(self, multihost_results):
+        r0, r1 = multihost_results
+        assert r0["process_count"] == 2 and r1["process_count"] == 2
+        # replicated metrics must be bit-identical across hosts
+        np.testing.assert_array_equal(r0["losses"], r1["losses"])
+        assert r0["pnorm"] == r1["pnorm"]
+        # PER counters pass through aggregate_per (allgather) on both hosts
+        assert r0["per"] == r1["per"]
+        assert r0["eval_loss"] == pytest.approx(r1["eval_loss"], rel=1e-6)
+
+    def test_matches_single_process(self, multihost_results):
+        from tests.multihost_worker import run_workload
+
+        single = run_workload()
+        assert single["process_count"] == 1
+        r0 = multihost_results[0]
+        # same global batches, same mesh shape -> same training trajectory
+        # (fp reduction orderings may differ between the gloo 2-process run
+        # and the single-process run, hence tolerances not equality)
+        np.testing.assert_allclose(
+            r0["losses"], single["losses"], rtol=2e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(r0["pnorm"], single["pnorm"], rtol=2e-4)
+        np.testing.assert_allclose(
+            r0["eval_loss"], single["eval_loss"], rtol=2e-3, atol=1e-3
+        )
+        assert r0["per"] == pytest.approx(single["per"], abs=0.02)
