@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--cout", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--grad", action="store_true")
+    ap.add_argument(
+        "--grad-wrt",
+        default="",
+        choices=["", "x", "w"],
+        help="time fwd+only-this-gradient (dx or dW isolation: subtract the "
+        "fwd-only time of the same arm)",
+    )
     ap.add_argument("--arms", default="fast10,fused")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-small", type=int, default=5)
@@ -41,7 +48,9 @@ def main():
     from qasr.ops.pallas.qconv_ft import (
         pack_to_stacked,
         qconv2d_ft,
+        qconv2d_ft8_stacked,
         qconv2d_ft_stacked,
+        qconv_fast8_stacked,
         qconv_fast10_stacked,
     )
     from qasr.utils.profiling import steady_state_times, qconv_flops, CHIPS
@@ -57,6 +66,9 @@ def main():
         # steady state (no per-layer repacking)
         "ft_st": qconv2d_ft_stacked,
         "fast10_st": qconv_fast10_stacked,
+        # rank-8 scheme (quaternion.py U8/V8/O8): 8 MXU products
+        "ft8_st": qconv2d_ft8_stacked,
+        "fast8_st": qconv_fast8_stacked,
     }
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
@@ -67,8 +79,37 @@ def main():
     x_st = jax.jit(pack_to_stacked)(x_ft)
 
     def make_chain(op, arm):
-        x_arm = {"ft": x_ft, "ft_st": x_st, "fast10_st": x_st}.get(arm, x)
-        if args.grad:
+        x_arm = {
+            "ft": x_ft,
+            "ft_st": x_st,
+            "fast10_st": x_st,
+            "ft8_st": x_st,
+            "fast8_st": x_st,
+        }.get(arm, x)
+        if args.grad_wrt:
+            argnum = 0 if args.grad_wrt == "x" else 1
+
+            def loss(x, w):
+                return jnp.sum(op(x, w).astype(jnp.float32) ** 2) * 1e-6
+
+            step = jax.value_and_grad(loss, argnums=argnum)
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def chain(x, w, n):
+                def body(_, carry):
+                    x, w = carry
+                    l, g = step(x, w)
+                    if argnum == 0:
+                        return (x + 1e-12 * g, w)
+                    return (x, w + 1e-12 * g)
+
+                x, w = jax.lax.fori_loop(0, n, body, (x, w))
+                # sum BOTH carries: returning only x would let XLA dead-code
+                # the whole loop in the wrt-w mode (x never changes there)
+                return jnp.sum(x[..., :1].astype(jnp.float32)) + jnp.sum(
+                    w[..., :1].astype(jnp.float32)
+                )
+        elif args.grad:
             def loss(x, w):
                 return jnp.sum(op(x, w).astype(jnp.float32) ** 2) * 1e-6
 
@@ -120,7 +161,7 @@ def main():
     flops = qconv_flops(args.batch, args.t, args.f, args.cin, args.cout)
     scale = 3 if args.grad else 1  # fwd+dx+dW
     out = {"shape": f"B{args.batch} T{args.t} F{args.f} C{args.cin}->{args.cout}",
-           "grad": args.grad}
+           "grad": args.grad, "grad_wrt": args.grad_wrt}
     for a in arms:
         out[a + "_s"] = round(times[a], 6)
         out[a + "_eff_tflops"] = round(scale * flops / times[a] / 1e12, 1)

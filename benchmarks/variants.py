@@ -47,7 +47,12 @@ def main():
     batch = _make_batch(b, t, f, base.model.vocab, 48)
 
     overrides = {
-        "auto": {},  # per-layer routing: fast10 at >=128 q-channels, else block
+        "auto": {},  # stacked F-major chain for fat layers (see layers.py)
+        "stacked": {"model.op_variant": "stacked"},  # XLA 10-product stacked
+        "stacked8": {"model.op_variant": "stacked8"},  # XLA rank-8 stacked
+        "fused": {"model.op_variant": "fused"},      # Pallas qconv_ft chain
+        "fused8": {"model.op_variant": "fused8"},    # Pallas rank-8 chain
+        "legacy_auto": {"model.op_variant": "legacy_auto"},  # pre-stacked auto
         "block": {"model.op_variant": "block"},
         "fast": {"model.op_variant": "fast"},
         "fast10": {"model.op_variant": "fast10"},

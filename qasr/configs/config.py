@@ -30,7 +30,9 @@ class ModelConfig:
     bidirectional: bool = True
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False
-    op_variant: str = "auto"        # conv path: auto | block | fast | fast10
+    # conv path: auto (= measured best: rank-8 stacked chain) | stacked |
+    # stacked8 | fused | fused8 | legacy_auto | block | fast | fast10
+    op_variant: str = "auto"
     dense_variant: str = "auto"     # dense path: auto | block | fast | pallas
 
 
@@ -257,10 +259,10 @@ PRESETS: dict[str, Config] = {
             dense_features=(1024, 1024, 1024),
             vocab=32,
             compute_dtype="bfloat16",
-            # op_variant="auto" routes convs per-layer: the 10-product
-            # fast10 path at >=128 quaternion channels (measured ~1.3x the
-            # block path fwd+bwd at 256), XLA block below; the Pallas paths
-            # measure slower at every width tried (benchmarks/probe_conv.py)
+            # op_variant="auto" = the rank-8 stacked F-major conv chain
+            # for the fat layers (measured 1.61x the reference-strategy
+            # real CNN on the flagship; docs/performance.md), XLA block for
+            # the thin pre-pool layers
         ),
         data=DataConfig(
             dataset="librispeech", max_label_len=512,

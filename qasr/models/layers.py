@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from qasr.ops.initializers import quaternion_initializer
 from qasr.ops.qlinalg import qconv, qconv_fast, qconv_fast10, qdense, qdense_fast
 from qasr.ops import pallas as qpallas
+from qasr.ops.pallas import qconv_ft
 from qasr.ops.quaternion import split_components
 
 
@@ -30,6 +31,24 @@ def flatten_quaternion(x: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(*lead, f, 4, c)
     x = jnp.moveaxis(x, -2, -3)  # [..., 4, F, C]
     return x.reshape(*lead, 4 * f * c)
+
+
+def tf_packed_to_stacked(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, F, 4C] packed -> [B, 4, F, T, C] component-stacked F-major.
+
+    The stacked layout is the conv-chain steady state (docs/performance.md):
+    component slices are leading-dim indexes and frequency taps are free row
+    slices, so neither XLA nor the Pallas kernel pays packed-layout reshapes.
+    One transpose at conv-stack entry; its inverse at exit.
+    """
+    b, t, f, c4 = x.shape
+    return x.reshape(b, t, f, 4, c4 // 4).transpose(0, 3, 2, 1, 4)
+
+
+def stacked_to_tf_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 4, F, T, C] stacked -> [B, T, F, 4C] packed."""
+    b, _, f, t, c = x.shape
+    return x.transpose(0, 3, 2, 1, 4).reshape(b, t, f, 4 * c)
 
 
 class QConv(nn.Module):
@@ -46,10 +65,13 @@ class QConv(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
-    variant: str = "auto"  # auto | block | fast | fast10
+    variant: str = "auto"  # auto | block | fast | fast10 | stacked | fused
+    layout: str = "btfc"   # btfc (packed [B,T,F,4C]) | stacked_ft ([B,4,F,T,C])
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.layout == "stacked_ft":
+            return self._call_stacked(x)
         cin4 = x.shape[-1]
         if cin4 % 4:
             raise ValueError(f"input channels {cin4} not divisible by 4")
@@ -62,6 +84,11 @@ class QConv(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         impl = self.variant
+        if impl in ("stacked", "fused", "stacked8", "fused8", "legacy_auto"):
+            # stacked-chain variants reaching the packed path (e.g. a thin
+            # layer the encoder kept packed), and the pre-stacked routing
+            # kept for A/B ("legacy_auto"), use the measured auto routing
+            impl = "auto"
         if impl == "auto":
             # Measured routing (benchmarks/probe_conv.py --grad on v5e): the
             # 10-product scheme runs each bilinear product as a full real
@@ -95,6 +122,53 @@ class QConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
             y = y + bias.astype(dtype)
+        return y
+
+    def _call_stacked(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Stacked F-major path: x ``[B, 4, F, T, Cin]`` -> same layout.
+
+        Params are identical to the packed path (same names and shapes), so
+        checkpoints are layout-independent. variant="fused" runs the Pallas
+        kernel where supported (bf16, C%128==0, SAME/stride-1); everything
+        else uses the XLA 10-product stacked conv.
+        """
+        if x.ndim != 5 or x.shape[1] != 4:
+            raise ValueError(f"stacked_ft expects [B, 4, F, T, C], got {x.shape}")
+        if self.strides is not None and tuple(self.strides) != (1, 1):
+            raise ValueError("stacked_ft layout supports stride 1 only")
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            quaternion_initializer(self.criterion),
+            (4, *self.kernel_size, cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        rank8 = self.variant.endswith("8")
+        use_fused = (
+            self.variant in ("fused", "fused8")
+            and dtype == jnp.bfloat16
+            and qconv_ft.supported(
+                cin, self.features, self.kernel_size, self.padding, self.strides
+            )
+        )
+        if use_fused:
+            fn = (
+                qconv_ft.qconv2d_ft8_stacked
+                if rank8
+                else qconv_ft.qconv2d_ft_stacked
+            )
+            y = fn(x, kernel.astype(dtype))
+        else:
+            fn = (
+                qconv_ft.qconv_fast8_stacked
+                if rank8
+                else qconv_ft.qconv_fast10_stacked
+            )
+            y = fn(x, kernel.astype(dtype), padding=self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
+            y = y + bias.astype(dtype).reshape(4, 1, 1, self.features)
         return y
 
 
@@ -152,6 +226,16 @@ class PReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 5 and x.shape[1] == 4:
+            # component-stacked [B, 4, F, T, C]: same per-real-channel alpha
+            # as the packed path (param shape [4C] — checkpoint-compatible)
+            alpha = self.param(
+                "alpha",
+                nn.initializers.constant(self.negative_slope_init),
+                (4 * x.shape[-1],),
+            )
+            a = alpha.astype(x.dtype).reshape(4, 1, 1, x.shape[-1])
+            return jnp.where(x >= 0, x, a * x)
         alpha = self.param(
             "alpha",
             nn.initializers.constant(self.negative_slope_init),

@@ -19,7 +19,14 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
+from qasr.models.layers import (
+    PReLU,
+    QConv,
+    QDense,
+    flatten_quaternion,
+    stacked_to_tf_packed,
+    tf_packed_to_stacked,
+)
 
 
 class QCNNEncoder(nn.Module):
@@ -48,18 +55,51 @@ class QCNNEncoder(nn.Module):
     ) -> jnp.ndarray:
         if x.ndim != 4:
             raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
+        # "stacked"/"fused" (and "auto", which resolves to the measured-best
+        # of the two — docs/performance.md) run the fat post-pool conv layers
+        # in the component-stacked F-major layout: one transpose in, one out,
+        # zero per-layer repacking. Thin layers keep the legacy per-layer
+        # routing (block below 128 q-channels).
+        # "auto" = measured-best full-step path on v5e: the XLA rank-8
+        # stacked chain (benchmarks/variants.py 2026-08-20: stacked8 1.61x
+        # vs real CNN, legacy fast10 routing 1.38x, Pallas fused8 1.42x)
+        chain_variant = {
+            "auto": "stacked8",
+            "stacked": "stacked",
+            "stacked8": "stacked8",
+            "fused": "fused",
+            "fused8": "fused8",
+        }.get(self.variant)
+        in_stacked = False
         for i, feats in enumerate(self.conv_features):
+            cin = (x.shape[-1] if in_stacked else x.shape[-1] // 4)
+            if (
+                chain_variant
+                and not in_stacked
+                and i >= self.pool_after
+                and len(self.kernel_size) == 2
+                and min(cin, feats) >= 128
+            ):
+                x = tf_packed_to_stacked(x)
+                in_stacked = True
+            if in_stacked:
+                layer_variant = chain_variant
+            else:
+                # thin layers: legacy measured routing (block below 128)
+                layer_variant = "auto" if chain_variant else self.variant
             x = QConv(
                 features=feats,
                 kernel_size=self.kernel_size,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
-                variant=self.variant,
+                variant=layer_variant,
+                layout="stacked_ft" if in_stacked else "btfc",
                 name=f"qconv_{i}",
             )(x)
             x = PReLU(name=f"conv_prelu_{i}")(x)
             if i + 1 == self.pool_after:
                 # pool along frequency only — time resolution feeds CTC
+                # (always before stacked entry: gate requires i >= pool_after)
                 x = nn.max_pool(
                     x,
                     window_shape=(1, self.pool_size),
@@ -68,6 +108,8 @@ class QCNNEncoder(nn.Module):
             if self.conv_dropout:
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
+        if in_stacked:
+            x = stacked_to_tf_packed(x)
         # fold (F, 4C) -> packed 4*(F*C) keeping component-major layout
         x = flatten_quaternion(x)
         for i, feats in enumerate(self.dense_features):

@@ -49,25 +49,43 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qasr.ops.quaternion import OUT_COMBO, W_COMBO, X_COMBO
+from qasr.ops.quaternion import O8, OUT_COMBO, U8, V8, W_COMBO, X_COMBO
 
 _TT = 32   # time rows per tile (sublane multiple for bf16)
 _TN = 128  # output-channel tile (one MXU lane group)
 
-# Signed term tables for the two directions. Forward: input combos from
-# X_COMBO rows (all +1), outputs from OUT_COMBO rows. dx: input combos from
-# OUT_COMBO columns, outputs from X_COMBO columns (all +1).
-_FWD_IN = tuple(
-    tuple((int(a), 1) for a in np.nonzero(X_COMBO[p])[0]) for p in range(10)
-)
-_FWD_OUT = tuple(
-    tuple(
-        (int(b), int(OUT_COMBO[b, p])) for b in range(4) if OUT_COMBO[b, p] != 0
-    )
-    for p in range(10)
-)
-_DX_IN = _FWD_OUT
-_DX_OUT = _FWD_IN
+
+class _Scheme:
+    """A bilinear decomposition of the Hamilton product:
+    ``y_b = Σ_p O[b,p] · (Σ_a U[p,a] w_a) ⊛ (Σ_a V[p,a] x_a)``.
+
+    Term tables are (index, coefficient) tuples — hashable statics for the
+    kernel. The transposed conv (dx) is the same structure with roles
+    rotated: input combos from O's columns, outputs from V's columns,
+    weights flip-transposed (still U-combos).
+    """
+
+    def __init__(self, name, u, v, o):
+        self.name = name
+        self.u = np.asarray(u, np.float64)       # [P, 4] weight-side
+        v = np.asarray(v, np.float64)            # [P, 4] input-side
+        o = np.asarray(o, np.float64)            # [4, P] output-side
+        p = self.u.shape[0]
+        self.n_prods = p
+        self.fwd_in = tuple(
+            tuple((int(a), float(v[q, a])) for a in range(4) if v[q, a] != 0)
+            for q in range(p)
+        )
+        self.fwd_out = tuple(
+            tuple((int(b), float(o[b, q])) for b in range(4) if o[b, q] != 0)
+            for q in range(p)
+        )
+        self.dx_in = self.fwd_out
+        self.dx_out = self.fwd_in
+
+
+SCHEME10 = _Scheme("fast10", W_COMBO, X_COMBO, OUT_COMBO)
+SCHEME8 = _Scheme("fast8", U8, V8, O8)
 
 
 def _round_up(v: int, mult: int) -> int:
@@ -108,6 +126,11 @@ def _ft_kernel(
     n_prods = len(in_terms)
     tt = win - _pad8(kh - 1)
     m = f_out * tt
+
+    out_coefs = [[0.0] * n_prods for _ in range(4)]
+    for p in range(n_prods):
+        for bo, coef in out_terms[p]:
+            out_coefs[bo][p] = coef
 
     li = (j * nb + b) * ni + i
     total = nj * nb * ni
@@ -150,7 +173,18 @@ def _ft_kernel(
 
     x_dma(slot, b, i).wait()
 
-    acc = [None, None, None, None]
+    def scaled(val, coef):
+        if coef == 1.0:
+            return val
+        if coef == -1.0:
+            return -val
+        return val * val.dtype.type(coef)
+
+    # per-PRODUCT f32 accumulators: one plain add per dot; the (possibly
+    # dense) output recombination runs ONCE per tile in the epilogue instead
+    # of per (dt, df) tap — keeps VPU work well under the MXU dot time even
+    # for the rank-8 scheme's dense O8
+    accp = [None] * n_prods
     for dt in range(kh):
         # time-tap shift: an unaligned sublane slice (Mosaic relayout roll);
         # measured hidden under the MXU dots at these shapes
@@ -160,12 +194,9 @@ def _ft_kernel(
         ]
         for p in range(n_prods):
             cmb = None
-            for a, sgn in in_terms[p]:
-                v = comp[a]
-                if cmb is None:
-                    cmb = v if sgn > 0 else -v
-                else:
-                    cmb = cmb + v if sgn > 0 else cmb - v
+            for a, coef in in_terms[p]:
+                term = scaled(comp[a], coef)
+                cmb = term if cmb is None else cmb + term
             for df in range(kw):
                 lhs = cmb[df * tt : df * tt + m]
                 prod = jnp.dot(
@@ -173,14 +204,17 @@ def _ft_kernel(
                     wbuf[p, dt * kw + df],
                     preferred_element_type=jnp.float32,
                 )
-                for bo, sgn in out_terms[p]:
-                    if acc[bo] is None:
-                        acc[bo] = prod if sgn > 0 else -prod
-                    else:
-                        acc[bo] = acc[bo] + prod if sgn > 0 else acc[bo] - prod
+                accp[p] = prod if accp[p] is None else accp[p] + prod
 
     for bo in range(4):
-        o_ref[0, bo] = acc[bo].reshape(f_out, tt, tn).astype(o_ref.dtype)
+        acc = None
+        for p in range(n_prods):
+            coef = out_coefs[bo][p]
+            if coef == 0.0:
+                continue
+            term = scaled(accp[p], coef)
+            acc = term if acc is None else acc + term
+        o_ref[0, bo] = acc.reshape(f_out, tt, tn).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -273,7 +307,7 @@ def supported(cin: int, cout: int, kernel_size, padding, strides) -> bool:
     )
 
 
-def _ft_fwd_impl(x_st, w):
+def _ft_fwd_impl(x_st, w, scheme: _Scheme):
     """x_st: [B, 4, F, T, Cin] stacked F-major; w: [4, kh, kw, Cin, Cout]."""
     b, _, f, t, cin = x_st.shape
     _, kh, kw, _, cout = w.shape
@@ -282,16 +316,22 @@ def _ft_fwd_impl(x_st, w):
     wc = jnp.einsum(
         "askn,pa->pskn",
         w.reshape(4, kh * kw, cin, cout),
-        jnp.asarray(W_COMBO, w.dtype),
-    ).astype(x_st.dtype)  # [10, S, C, N]
+        jnp.asarray(scheme.u, w.dtype),
+    ).astype(x_st.dtype)  # [P, S, C, N]
 
     out = _ft_conv_raw(
-        xp, wc, kh=kh, kw=kw, f_out=f, in_terms=_FWD_IN, out_terms=_FWD_OUT
+        xp,
+        wc,
+        kh=kh,
+        kw=kw,
+        f_out=f,
+        in_terms=scheme.fwd_in,
+        out_terms=scheme.fwd_out,
     )  # [B, 4, F, T_pad, N]
     return out[:, :, :, :t, :]
 
 
-def _ft_dx_impl(dy_st, w):
+def _ft_dx_impl(dy_st, w, scheme: _Scheme):
     """Transposed conv: dy [B, 4, F, T, Cout] -> dx [B, 4, F, T, Cin]."""
     b, _, f, t, _ = dy_st.shape
     _, kh, kw, cin, cout = w.shape
@@ -299,23 +339,30 @@ def _ft_dx_impl(dy_st, w):
 
     # flip taps, swap Cin/Cout: wc_dx[p] = flip_s(Wc_p)^T
     wc = jnp.einsum(
-        "ahwkn,pa->phwnk", w, jnp.asarray(W_COMBO, w.dtype)
-    )  # [10, kh, kw, N, C]
-    wc = wc[:, ::-1, ::-1].reshape(10, kh * kw, cout, cin).astype(dy_st.dtype)
+        "ahwkn,pa->phwnk", w, jnp.asarray(scheme.u, w.dtype)
+    )  # [P, kh, kw, N, C]
+    wc = wc[:, ::-1, ::-1].reshape(
+        scheme.n_prods, kh * kw, cout, cin
+    ).astype(dy_st.dtype)
 
     out = _ft_conv_raw(
-        dyp, wc, kh=kh, kw=kw, f_out=f, in_terms=_DX_IN, out_terms=_DX_OUT
+        dyp,
+        wc,
+        kh=kh,
+        kw=kw,
+        f_out=f,
+        in_terms=scheme.dx_in,
+        out_terms=scheme.dx_out,
     )
     return out[:, :, :, :t, :]
 
 
-def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
-    """XLA 10-product quaternion conv on the stacked F-major layout.
+def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):
+    """XLA reduced-product quaternion conv on the stacked F-major layout.
 
-    Same bilinear scheme as qasr.ops.qlinalg.qconv_fast10 but consuming
-    ``[B, 4, F, T, C]`` directly (component slices are leading-dim indexing,
-    no packed-layout reshapes). Used as the dW transpose source and as the
-    XLA parity twin of the Pallas kernel.
+    Consumes ``[B, 4, F, T, C]`` directly (component slices are leading-dim
+    indexing, no packed-layout reshapes). Used as the dW transpose source
+    and as the XLA parity twin of the Pallas kernel.
     """
     _, kh, kw, cin, cout = w.shape
     # w's kernel dims are (time, freq); the stacked layout is (F, T)-major,
@@ -323,18 +370,26 @@ def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
     wc = jnp.einsum(
         "a...kn,pa->p...kn",
         jnp.swapaxes(w, 1, 2),
-        jnp.asarray(W_COMBO, w.dtype),
-    ).astype(x_st.dtype)  # [10, kw, kh, Cin, Cout]
+        jnp.asarray(scheme.u, w.dtype),
+    ).astype(x_st.dtype)  # [P, kw, kh, Cin, Cout]
     sample = x_st[:, 0]
     dn = lax.conv_dimension_numbers(
         sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
     )
+
+    def scaled(val, coef):
+        if coef == 1.0:
+            return val
+        if coef == -1.0:
+            return -val
+        return val * jnp.asarray(coef, val.dtype)
+
     prods = []
-    for p in range(10):
-        terms = np.nonzero(X_COMBO[p])[0]
-        xc = x_st[:, int(terms[0])]
-        if len(terms) == 2:
-            xc = xc + x_st[:, int(terms[1])]
+    for p in range(scheme.n_prods):
+        xc = None
+        for a, coef in scheme.fwd_in[p]:
+            term = scaled(x_st[:, a], coef)
+            xc = term if xc is None else xc + term
         prods.append(
             lax.conv_general_dilated(
                 xc, wc[p], (1, 1), padding, dimension_numbers=dn
@@ -343,49 +398,66 @@ def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
     outs = []
     for bo in range(4):
         acc = None
-        for p in range(10):
-            c = int(OUT_COMBO[bo, p])
-            if c == 0:
-                continue
-            term = prods[p] if c > 0 else -prods[p]
+        for p, coef in (
+            (p, coef)
+            for p in range(scheme.n_prods)
+            for b_, coef in scheme.fwd_out[p]
+            if b_ == bo
+        ):
+            term = scaled(prods[p], coef)
             acc = term if acc is None else acc + term
         outs.append(acc)
     return jnp.stack(outs, axis=1)  # [B, 4, F, T, Cout]
 
 
-def _ft_dw_impl(x_st, dy_st, w_shape, w_dtype):
-    """dW via the linear transpose of the XLA 10-product conv on the stacked
-    layout (10 correlation convs whose contraction dim is B*F*T)."""
+def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
+    """XLA 10-product quaternion conv, stacked F-major layout."""
+    return _qconv_stacked_xla(x_st, w, SCHEME10, padding)
+
+
+def qconv_fast8_stacked(x_st, w, *, padding="SAME"):
+    """XLA rank-8 quaternion conv, stacked F-major layout (8/16 the MXU
+    FLOPs of the reference's expanded conv; see quaternion.py U8/V8/O8)."""
+    return _qconv_stacked_xla(x_st, w, SCHEME8, padding)
+
+
+def _ft_dw_impl(x_st, dy_st, w_shape, w_dtype, scheme: _Scheme):
+    """dW via the linear transpose of the XLA reduced-product conv on the
+    stacked layout (P correlation convs whose contraction dim is B*F*T)."""
     w_abstract = jax.ShapeDtypeStruct(w_shape, w_dtype)
     (dw,) = jax.linear_transpose(
-        lambda w_: qconv_fast10_stacked(x_st, w_), w_abstract
+        lambda w_: _qconv_stacked_xla(x_st, w_, scheme), w_abstract
     )(dy_st)
     return dw
 
 
-@jax.custom_vjp
-def qconv2d_ft_stacked(x_st: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Fused F-major Pallas quaternion conv2d (stride 1, SAME, odd kernels).
+def _make_fused(scheme: _Scheme):
+    @jax.custom_vjp
+    def fused(x_st: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        return _ft_fwd_impl(x_st, w, scheme)
 
-    x_st: ``[B, 4, F, T, Cin]`` component-stacked, frequency-major. w:
-    ``[4, kh, kw, Cin, Cout]``. Returns ``[B, 4, F, T, Cout]`` — the same
-    layout, so conv stacks chain with no repacking.
-    """
-    return _ft_fwd_impl(x_st, w)
+    def fwd(x_st, w):
+        return _ft_fwd_impl(x_st, w, scheme), (x_st, w)
 
+    def bwd(res, dy):
+        x_st, w = res
+        dx = _ft_dx_impl(dy, w, scheme)
+        dw = _ft_dw_impl(x_st, dy, w.shape, w.dtype, scheme)
+        return dx, dw
 
-def _qconv2d_ft_fwd(x_st, w):
-    return _ft_fwd_impl(x_st, w), (x_st, w)
-
-
-def _qconv2d_ft_bwd(res, dy):
-    x_st, w = res
-    dx = _ft_dx_impl(dy, w)
-    dw = _ft_dw_impl(x_st, dy, w.shape, w.dtype)
-    return dx, dw
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
-qconv2d_ft_stacked.defvjp(_qconv2d_ft_fwd, _qconv2d_ft_bwd)
+#: Fused F-major Pallas quaternion conv2d (stride 1, SAME, odd kernels).
+#: x_st: ``[B, 4, F, T, Cin]`` component-stacked, frequency-major;
+#: w: ``[4, kh, kw, Cin, Cout]``. Returns the same layout, so conv stacks
+#: chain with no repacking. 10-product scheme.
+qconv2d_ft_stacked = _make_fused(SCHEME10)
+
+#: Same kernel with the rank-8 scheme (2.0x MXU FLOP cut vs the reference's
+#: expanded conv).
+qconv2d_ft8_stacked = _make_fused(SCHEME8)
 
 
 def pack_to_stacked(x_ft: jnp.ndarray) -> jnp.ndarray:

@@ -169,6 +169,66 @@ OUT_COMBO = np.array(
 )
 
 
+# ---------------------------------------------------------------------------
+# Rank-8 Hamilton product (the bilinear rank of quaternion multiplication is
+# exactly 8). Found by sparsity-constrained ALS on the product tensor
+# (tools/find_rank8.py) and verified exact to f64 precision in
+# tests/test_quaternion_ops.py:
+#
+#   prod_p = (Σ_a U8[p,a] w_a) · (Σ_a V8[p,a] x_a),   p = 0..7
+#   y_b    = Σ_p O8[b,p] prod_p
+#
+# V8 has two nonzeros per row (input combos stay one FMA on the VPU); U8
+# lives on the weight side, precomputed for free; O8 is dense but the
+# recombination is f32-accumulator FMAs. max|U8| ≈ 2.0, so bf16 rounding of
+# the weight combos is amplified no worse than the 10-product scheme's ±1
+# combos. 8/16 the MXU products of the reference's expanded conv — a 2.0x
+# FLOP cut (vs 1.6x for the 10-product scheme).
+# ---------------------------------------------------------------------------
+
+U8 = np.array([
+    [-0.41134848995960666, -1.89911105715955, -1.6081577100916444, -0.2830177865031355],
+    [-2.0002010968731994, 1.1923724898812937, -0.14584853038532697, -0.039972063029792726],
+    [-1.7575503310010283, 0.3525711467091218, 0.23758858505076308, -1.3885017354386253],
+    [-1.2647601436934603, -1.9928792483501931, -0.20893727813149843, -0.026890051237025675],
+    [-1.422885414406715, -0.41364218483401466, -0.41268414926265184, 1.356973490598023],
+    [-0.41348667546468526, 0.3752519092863721, -1.118442139724733, -1.7062214536864513],
+    [0.43514041891738603, -1.4008969396946274, 1.4349888685965422, 0.4304451237930994],
+    [0.24777709857135102, 0.5543302028802017, 1.788705629898477, -1.0215471431842396],
+], dtype=np.float64)
+V8 = np.array([
+    [0.0, 0.4513786445826455, 0.0, 0.8923325160569082],
+    [0.8446318483303761, -0.5353475887534835, 0.0, 0.0],
+    [0.8475335129218723, 0.0, -0.5307418812119522, 0.0],
+    [0.0, 0.0, 0.5351701533441554, 0.8447442849568957],
+    [-0.7028365579661247, 0.0, -0.7113513708318894, 0.0],
+    [-0.6828031123792481, -0.7306024293164547, 0.0, 0.0],
+    [0.0, 0.781536511377488, 0.0, -0.6238595045214324],
+    [0.0, 0.0, 0.682885397420987, -0.7305255190526655],
+], dtype=np.float64)
+O8 = np.array([
+    [0.6261460263168904, -0.01767477854650512, -0.3870646792669045, -0.16414261279326867, 0.4094475742742699, -0.056301890266540845, 0.44752562851604755, -0.9720666782625007],
+    [-0.33545488689537056, 0.9643638498922589, -0.5930157361554107, 0.23021875668841382, 0.736780997967462, 0.0320916070897509, -0.3076453760319158, -0.21721813550164476],
+    [0.34554159148622104, -0.06153785859793262, 0.573149817907253, 0.011662710438349832, 0.4766460235894757, 0.9673691779622062, -0.4769016103208764, -0.05431815127358439],
+    [0.6131983212115742, 0.256715911429653, -0.41232578983948065, -0.959124865654911, -0.24962975213152433, 0.24494305345008152, -0.6911150327540616, -0.0703718200778613],
+], dtype=np.float64)
+
+
+def hamilton_tensor() -> np.ndarray:
+    """The 4x4x4 product tensor T with y_k = Σ_ij T[i,j,k] w_i x_j (the
+    object the 10- and 8-product schemes decompose; used by tests)."""
+    t = np.zeros((4, 4, 4))
+    for a in range(4):
+        for b in range(4):
+            t[HAMILTON_COMP[a, b], a, b] += 0  # keep shape clear
+    # build from the sign/component tables: y_b = Σ_a sign[a,b) x_a W[comp]
+    # i.e. T[w_idx, x_idx, out] with w_idx = comp[a, b], x_idx = a
+    for a in range(4):
+        for b in range(4):
+            t[HAMILTON_COMP[a, b], a, b] += float(HAMILTON_SIGN[a, b])
+    return t
+
+
 def hamilton_product(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     """Elementwise Hamilton product of packed quaternion tensors (q1 ⊗ q2)."""
     ar, ai, aj, ak = split_components(q1)

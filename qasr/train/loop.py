@@ -140,6 +140,23 @@ def _train(cfg: Config, *, metrics_dir: str | None = None, resume: bool = False)
         f"[qasr] config={cfg.name} params={param_count(state.params):,} "
         f"mesh={dict(mesh.shape)} devices={n_chips}"
     )
+    # one-time per-device memory accounting: proof the TP sharding divides
+    # state bytes as configured (max==min under pure DP; max ~ total/model
+    # axis under TP), plus allocator stats where the backend reports them
+    from qasr.train.metrics import device_memory_stats, per_device_bytes
+
+    pdb = per_device_bytes((state.params, state.opt_state))
+    if pdb:
+        row = {
+            "state_bytes_per_device_max": max(pdb.values()),
+            "state_bytes_per_device_min": min(pdb.values()),
+        }
+        mem = device_memory_stats()
+        if mem:
+            row["hbm_bytes_in_use_max"] = max(
+                v["bytes_in_use"] for v in mem.values()
+            )
+        writer.write(int(state.step), row)
 
     # Background prefetch from here on: host batch prep overlaps device
     # compute, and nothing inside the hot loop forces a device fetch (frames

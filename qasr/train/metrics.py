@@ -14,6 +14,39 @@ import time
 import jax
 
 
+def per_device_bytes(tree) -> dict:
+    """Bytes of this pytree each local device actually holds (sharding-aware:
+    a TP-sharded kernel counts 1/n_shards per device, replicated leaves count
+    full size on every device). The evidence that tensor parallelism is
+    really dividing memory — SURVEY.md §2c P2."""
+    out: dict = {}
+    for leaf in jax.tree_util.tree_leaves(tree):
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards is None:
+            continue
+        for sh in shards:
+            key = str(sh.device)
+            out[key] = out.get(key, 0) + sh.data.nbytes
+    return out
+
+
+def device_memory_stats() -> dict:
+    """Per-device allocator stats (bytes_in_use / limit) where the backend
+    exposes them (TPU does; CPU returns {})."""
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": int(stats.get("bytes_in_use", 0)),
+                "bytes_limit": int(stats.get("bytes_limit", 0)),
+            }
+    return out
+
+
 class MetricWriter:
     def __init__(self, out_dir: str | None = None, console: bool = True):
         self.console = console

@@ -177,3 +177,58 @@ class TestQBatchNorm:
         g = jax.grad(loss)(vars_["params"])
         assert np.isfinite(np.asarray(g["gamma"])).all()
         assert np.isfinite(np.asarray(g["beta"])).all()
+
+
+class TestStackedVariants:
+    """The stacked F-major conv-chain variants (docs/performance.md) must be
+    drop-in: same param tree as the legacy routing (checkpoint-compatible)
+    and the same outputs for shared params."""
+
+    def _build(self, variant):
+        from qasr.models.qcnn import QCNNEncoder
+
+        return QCNNEncoder(
+            variant=variant,
+            conv_features=(8, 128, 128),
+            dense_features=(16,),
+            vocab=12,
+            pool_after=1,
+        )
+
+    def test_variants_match_legacy_with_shared_params(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 40, 4))
+        m_leg = self._build("legacy_auto")
+        p = m_leg.init(jax.random.PRNGKey(1), x, train=False)["params"]
+        y_leg = m_leg.apply({"params": p}, x, train=False)
+        for variant in ("auto", "stacked", "stacked8", "fused", "fused8"):
+            m = self._build(variant)
+            y = m.apply({"params": p}, x, train=False)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y_leg), atol=2e-4, rtol=2e-4,
+                err_msg=variant,
+            )
+
+    def test_param_trees_identical(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 40, 4))
+        trees = {}
+        for variant in ("legacy_auto", "stacked", "fused8"):
+            p = self._build(variant).init(jax.random.PRNGKey(1), x, train=False)[
+                "params"
+            ]
+            trees[variant] = jax.tree_util.tree_map(lambda a: a.shape, p)
+        assert trees["legacy_auto"] == trees["stacked"] == trees["fused8"]
+
+    def test_stacked_grads_flow(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 40, 4))
+        m = self._build("stacked8")
+        p = m.init(jax.random.PRNGKey(1), x, train=False)["params"]
+
+        def loss(p):
+            return jnp.sum(m.apply({"params": p}, x, train=False) ** 2)
+
+        g = jax.grad(loss)(p)
+        norms = [float(jnp.linalg.norm(v)) for v in jax.tree_util.tree_leaves(g)]
+        assert all(np.isfinite(n) for n in norms)
+        # every conv layer receives gradient
+        assert float(jnp.linalg.norm(g["qconv_1"]["kernel"])) > 0
+        assert float(jnp.linalg.norm(g["qconv_2"]["kernel"])) > 0

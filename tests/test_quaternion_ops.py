@@ -220,3 +220,69 @@ class TestFastVariants:
         gx2, gw2 = jax.grad(loss(qconv), argnums=(0, 1))(x, w)
         np.testing.assert_allclose(gx1, gx2, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(gw1, gw2, rtol=1e-3, atol=1e-4)
+
+
+class TestRank8Scheme:
+    """Exactness of the rank-8 bilinear decomposition (quaternion.py U8/V8/O8,
+    found by tools/find_rank8.py; the bilinear rank of quaternion
+    multiplication is exactly 8)."""
+
+    def test_decomposition_reconstructs_hamilton_tensor(self):
+        from qasr.ops.quaternion import O8, U8, V8, hamilton_tensor
+
+        t = np.einsum("pi,pj,kp->ijk", U8, V8, O8)
+        np.testing.assert_allclose(t, hamilton_tensor(), atol=1e-12)
+
+    def test_v8_rows_are_two_sparse(self):
+        from qasr.ops.quaternion import U8, V8
+
+        assert all(int((np.abs(V8[p]) > 0).sum()) == 2 for p in range(8))
+        # conditioning bound: bf16 weight-combo rounding amplification stays
+        # comparable to the 10-product scheme's +-1 combos
+        assert np.abs(U8).max() < 2.5
+
+    def test_fast8_stacked_conv_matches_oracle(self):
+        from qasr.ops.pallas.qconv_ft import (
+            pack_to_stacked,
+            qconv_fast8_stacked,
+            stacked_to_pack,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        x = jax.random.normal(k1, (2, 18, 9, 4 * 6))
+        w = jax.random.normal(k2, (4, 3, 3, 6, 7)) * 0.2
+        x_st = pack_to_stacked(jnp.swapaxes(x, 1, 2))
+        y = jnp.swapaxes(stacked_to_pack(qconv_fast8_stacked(x_st, w)), 1, 2)
+        ref = qconv(x, w, padding="SAME")
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), atol=2e-4, rtol=2e-4
+        )
+
+    def test_fast8_stacked_grads_match(self):
+        from qasr.ops.pallas.qconv_ft import pack_to_stacked, qconv_fast8_stacked
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x = jax.random.normal(k1, (2, 10, 7, 4 * 3))
+        w = jax.random.normal(k2, (4, 3, 3, 3, 3)) * 0.2
+        x_st = pack_to_stacked(jnp.swapaxes(x, 1, 2))
+
+        g8 = jax.grad(
+            lambda a, b: jnp.sum(qconv_fast8_stacked(a, b) ** 2), argnums=(0, 1)
+        )(x_st, w)
+        from qasr.ops.pallas.qconv_ft import stacked_to_pack
+
+        gref = jax.grad(
+            lambda a, b: jnp.sum(
+                qconv(
+                    jnp.swapaxes(stacked_to_pack(a), 1, 2), b, padding="SAME"
+                )
+                ** 2
+            ),
+            argnums=(0, 1),
+        )(x_st, w)
+        np.testing.assert_allclose(
+            np.asarray(g8[1]), np.asarray(gref[1]), atol=3e-3, rtol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g8[0]), np.asarray(gref[0]), atol=3e-3, rtol=3e-3
+        )
