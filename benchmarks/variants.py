@@ -57,6 +57,7 @@ def main():
         "fast": {"model.op_variant": "fast"},
         "fast10": {"model.op_variant": "fast10"},
         "dense_fast": {"model.dense_variant": "fast"},  # conv stays auto
+        "dense_fast8": {"model.dense_variant": "fast8"},  # rank-8 dense, conv auto
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
     }

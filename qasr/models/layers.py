@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from qasr.ops.initializers import quaternion_initializer
-from qasr.ops.qlinalg import qconv, qconv_fast, qconv_fast10, qdense, qdense_fast
+from qasr.ops.qlinalg import (
+    qconv,
+    qconv_fast,
+    qconv_fast10,
+    qdense,
+    qdense_fast,
+    qdense_fast8,
+)
 from qasr.ops import pallas as qpallas
 from qasr.ops.pallas import qconv_ft
 from qasr.ops.quaternion import split_components
@@ -208,7 +215,9 @@ class QDense(nn.Module):
         if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))
         else:
-            dense_fn = qdense_fast if impl == "fast" else qdense
+            dense_fn = {"fast": qdense_fast, "fast8": qdense_fast8}.get(
+                impl, qdense
+            )
             y = dense_fn(x, kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))

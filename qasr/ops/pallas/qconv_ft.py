@@ -410,14 +410,76 @@ def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):
     return jnp.stack(outs, axis=1)  # [B, 4, F, T, Cout]
 
 
+def _qconv_stacked_dx_xla(dy_st, w, scheme: _Scheme):
+    """dx as PLAIN forward convs (rotated-role decomposition): input combos
+    from O's columns, weights flip-transposed U-combos, outputs from V's
+    columns. Measured 11% faster than XLA's transposed-conv lowering of the
+    autodiff dx at flagship shapes (docs/performance.md). SAME stride-1."""
+    wc = jnp.einsum(
+        "ahwkn,pa->pwhnk", w, jnp.asarray(scheme.u, w.dtype)
+    )  # [P, kw, kh, N, C]: spatial swapped for the (F, T) layout
+    wc = wc[:, ::-1, ::-1].astype(dy_st.dtype)
+    sample = dy_st[:, 0]
+    dn = lax.conv_dimension_numbers(
+        sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
+    )
+
+    def scaled(val, coef):
+        if coef == 1.0:
+            return val
+        if coef == -1.0:
+            return -val
+        return val * jnp.asarray(coef, val.dtype)
+
+    outs = [None] * 4
+    for p in range(scheme.n_prods):
+        dyc = None
+        for b_, coef in scheme.fwd_out[p]:
+            term = scaled(dy_st[:, b_], coef)
+            dyc = term if dyc is None else dyc + term
+        prod = lax.conv_general_dilated(
+            dyc, wc[p], (1, 1), "SAME", dimension_numbers=dn
+        )
+        for a, coef in scheme.fwd_in[p]:
+            term = scaled(prod, coef)
+            outs[a] = term if outs[a] is None else outs[a] + term
+    return jnp.stack(outs, axis=1)
+
+
+def _make_stacked_xla(scheme: _Scheme):
+    @jax.custom_vjp
+    def conv(x_st, w):
+        return _qconv_stacked_xla(x_st, w, scheme)
+
+    def fwd(x_st, w):
+        return _qconv_stacked_xla(x_st, w, scheme), (x_st, w)
+
+    def bwd(res, dy):
+        x_st, w = res
+        dx = _qconv_stacked_dx_xla(dy, w, scheme)
+        dw = _ft_dw_impl(x_st, dy, w.shape, w.dtype, scheme)
+        return dx, dw
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+_FAST10_STACKED_SAME = _make_stacked_xla(SCHEME10)
+_FAST8_STACKED_SAME = _make_stacked_xla(SCHEME8)
+
+
 def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
     """XLA 10-product quaternion conv, stacked F-major layout."""
+    if padding == "SAME":
+        return _FAST10_STACKED_SAME(x_st, w)
     return _qconv_stacked_xla(x_st, w, SCHEME10, padding)
 
 
 def qconv_fast8_stacked(x_st, w, *, padding="SAME"):
     """XLA rank-8 quaternion conv, stacked F-major layout (8/16 the MXU
     FLOPs of the reference's expanded conv; see quaternion.py U8/V8/O8)."""
+    if padding == "SAME":
+        return _FAST8_STACKED_SAME(x_st, w)
     return _qconv_stacked_xla(x_st, w, SCHEME8, padding)
 
 

@@ -22,7 +22,10 @@ import numpy as np
 from jax import lax
 
 from qasr.ops.quaternion import (
+    O8,
     OUT_COMBO,
+    U8,
+    V8,
     W_COMBO,
     X_COMBO,
     hamilton_expand,
@@ -131,6 +134,37 @@ def qdense_fast(
     ys = jnp.einsum(
         "...pn,bp->...bn", prods, jnp.asarray(OUT_COMBO, accum_dtype)
     )  # [..., 4, N]
+    return ys.reshape(*x.shape[:-1], 4 * w.shape[2]).astype(x.dtype)
+
+
+def qdense_fast8(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion dense via the exact rank-8 scheme (quaternion.py U8/V8/O8).
+
+    8 batched real GEMMs — the bilinear-rank floor, 8/16 the MXU FLOPs of
+    the block-expanded GEMM. Same einsum structure as `qdense_fast`; input
+    combos are 2-sparse weighted sums, output recombination is a dense
+    [4, 8] contraction in the accumulate dtype.
+    """
+    if w.ndim != 3 or w.shape[0] != 4:
+        raise ValueError(f"dense weights must be [4, Cin, Cout], got {w.shape}")
+    k = w.shape[1]
+    xs = x.reshape(*x.shape[:-1], 4, k)
+    xc = jnp.einsum("...ak,pa->...pk", xs, jnp.asarray(V8, x.dtype))
+    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(U8, w.dtype))  # [8, K, N]
+    prods = jnp.einsum(
+        "...pk,pkn->...pn",
+        xc,
+        wc.astype(x.dtype),
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    ys = jnp.einsum("...pn,bp->...bn", prods, jnp.asarray(O8, accum_dtype))
     return ys.reshape(*x.shape[:-1], 4 * w.shape[2]).astype(x.dtype)
 
 
