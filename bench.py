@@ -112,6 +112,31 @@ def main():
 
     from qasr.configs import get_config
 
+    if jax.default_backend() not in ("cpu",):
+        # Real-TPU Mosaic regression gate: the Pallas qconv_ft kernels only
+        # lower for real through benchmarks, so compile + parity-check them
+        # here where the driver runs every round (tests run in interpret
+        # mode on CPU; a Mosaic-level regression would otherwise pass CI).
+        import jax.numpy as jnp
+
+        from qasr.ops.pallas.qconv_ft import (
+            pack_to_stacked,
+            qconv2d_ft8_stacked,
+            qconv2d_ft_stacked,
+            qconv_fast10_stacked,
+        )
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        xs = jax.random.normal(kx, (2, 4, 13, 64, 128), jnp.bfloat16) * 0.5
+        wq = jax.random.normal(kw, (4, 3, 3, 128, 128), jnp.bfloat16) * 0.05
+        ref = qconv_fast10_stacked(xs, wq).astype(jnp.float32)
+        scale = float(jnp.std(ref))
+        for name, fn in (("ft10", qconv2d_ft_stacked), ("ft8", qconv2d_ft8_stacked)):
+            err = float(
+                jnp.max(jnp.abs(jax.jit(fn)(xs, wq).astype(jnp.float32) - ref))
+            )
+            assert err < 0.25 * scale, f"Mosaic {name} parity fail: {err} vs {scale}"
+
     b, t, f = 16, 256, 40
     frame_s = 0.010
     base = get_config("timit_qcnn").override(

@@ -5,7 +5,7 @@ Times one conv op at a given shape for each arm using the interleaved
 difference-quotient harness (qasr.utils.profiling.steady_state_times).
 
 Usage: python benchmarks/probe_fused.py [--cin 256] [--cout 256] [--grad]
-       [--arms fast10,fused,block]
+       [--arms fast10,fast8_st,ft8_st,block] [--grad-wrt x|w]
 """
 
 import argparse
@@ -34,7 +34,7 @@ def main():
         help="time fwd+only-this-gradient (dx or dW isolation: subtract the "
         "fwd-only time of the same arm)",
     )
-    ap.add_argument("--arms", default="fast10,fused")
+    ap.add_argument("--arms", default="fast10,fast8_st,ft8_st")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n-small", type=int, default=5)
     ap.add_argument("--n-big", type=int, default=25)
@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from qasr.ops.qlinalg import qconv, qconv_fast10
-    from qasr.ops.pallas import qconv2d_fused, qconv2d_pallas
+    from qasr.ops.pallas import qconv2d_pallas
     from qasr.ops.pallas.qconv_ft import (
         pack_to_stacked,
         qconv2d_ft,
@@ -58,7 +58,6 @@ def main():
     ops = {
         "block": qconv,
         "fast10": qconv_fast10,
-        "fused": qconv2d_fused,
         "im2col": qconv2d_pallas,
         # F-major fused kernel: carries the chain in [B, F, T, 4C] layout
         "ft": qconv2d_ft,
@@ -159,7 +158,8 @@ def main():
         runs, n_small=args.n_small, n_big=args.n_big, repeats=args.repeats
     )
     flops = qconv_flops(args.batch, args.t, args.f, args.cin, args.cout)
-    scale = 3 if args.grad else 1  # fwd+dx+dW
+    # passes measured: fwd+dx+dW (grad), fwd+one-gradient (grad_wrt), or fwd
+    scale = 3 if args.grad else (2 if args.grad_wrt else 1)
     out = {"shape": f"B{args.batch} T{args.t} F{args.f} C{args.cin}->{args.cout}",
            "grad": args.grad, "grad_wrt": args.grad_wrt}
     for a in arms:

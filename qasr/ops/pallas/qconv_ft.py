@@ -318,6 +318,9 @@ def _ft_fwd_impl(x_st, w, scheme: _Scheme):
         w.reshape(4, kh * kw, cin, cout),
         jnp.asarray(scheme.u, w.dtype),
     ).astype(x_st.dtype)  # [P, S, C, N]
+    n_pad = _round_up(cout, _TN)
+    if n_pad != cout:
+        wc = jnp.pad(wc, ((0, 0), (0, 0), (0, 0), (0, n_pad - cout)))
 
     out = _ft_conv_raw(
         xp,
@@ -327,8 +330,8 @@ def _ft_fwd_impl(x_st, w, scheme: _Scheme):
         f_out=f,
         in_terms=scheme.fwd_in,
         out_terms=scheme.fwd_out,
-    )  # [B, 4, F, T_pad, N]
-    return out[:, :, :, :t, :]
+    )  # [B, 4, F, T_pad, N_pad]
+    return out[:, :, :, :t, :cout]
 
 
 def _ft_dx_impl(dy_st, w, scheme: _Scheme):
@@ -344,6 +347,9 @@ def _ft_dx_impl(dy_st, w, scheme: _Scheme):
     wc = wc[:, ::-1, ::-1].reshape(
         scheme.n_prods, kh * kw, cout, cin
     ).astype(dy_st.dtype)
+    c_pad = _round_up(cin, _TN)
+    if c_pad != cin:
+        wc = jnp.pad(wc, ((0, 0), (0, 0), (0, 0), (0, c_pad - cin)))
 
     out = _ft_conv_raw(
         dyp,
@@ -354,7 +360,7 @@ def _ft_dx_impl(dy_st, w, scheme: _Scheme):
         in_terms=scheme.dx_in,
         out_terms=scheme.dx_out,
     )
-    return out[:, :, :, :t, :]
+    return out[:, :, :, :t, :cin]
 
 
 def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):

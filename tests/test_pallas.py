@@ -103,52 +103,81 @@ class TestQConvPallas:
         np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)
 
 
-class TestFusedConv:
-    """Halo-tiled direct Pallas conv (qconv_fused.py) vs the XLA block path."""
+class TestFtConv:
+    """Fused F-major stacked conv (qconv_ft.py) vs the XLA block path —
+    both bilinear schemes, SAME stride-1 (the kernel's contract)."""
 
     @pytest.mark.parametrize(
-        "shape,pad",
+        "shape",
         [
-            ((1, 20, 13, 8, 8), "SAME"),
-            ((2, 16, 9, 4, 4), "VALID"),
-            ((1, 7, 5, 2, 3), "SAME"),      # T not a TT multiple, tiny dims
-            ((1, 33, 15, 8, 12), "SAME"),   # odd T, F crossing sublane pad
+            (1, 20, 13, 8, 8),
+            (2, 16, 9, 4, 4),
+            (1, 7, 5, 2, 3),       # T below one tile, tiny dims
+            (1, 33, 15, 8, 12),    # odd T crossing the tile boundary
         ],
     )
-    def test_matches_block_path(self, shape, pad):
-        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+    @pytest.mark.parametrize("scheme", ["ft10", "ft8"])
+    def test_matches_block_path(self, shape, scheme):
+        from qasr.ops.pallas.qconv_ft import (
+            pack_to_stacked,
+            qconv2d_ft8_stacked,
+            qconv2d_ft_stacked,
+            stacked_to_pack,
+        )
 
         b, t, f, cin, cout = shape
         kx, kw = jax.random.split(jax.random.PRNGKey(sum(shape)))
         x = _rand(kx, (b, t, f, 4 * cin))
         w = _rand(kw, (4, 3, 3, cin, cout))
-        got = qconv2d_fused(x, w, pad)
-        want = qconv(x, w, padding=pad)
+        fn = qconv2d_ft_stacked if scheme == "ft10" else qconv2d_ft8_stacked
+        x_st = pack_to_stacked(jnp.swapaxes(x, 1, 2))
+        got = jnp.swapaxes(stacked_to_pack(fn(x_st, w)), 1, 2)
+        want = qconv(x, w, padding="SAME")
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
     def test_5x5_kernel(self):
-        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+        from qasr.ops.pallas.qconv_ft import qconv2d_ft
 
         kx, kw = jax.random.split(jax.random.PRNGKey(0))
         x = _rand(kx, (1, 18, 11, 4 * 4))
         w = _rand(kw, (4, 5, 5, 4, 4))
-        got = qconv2d_fused(x, w, "SAME")
+        x_ft = jnp.swapaxes(x, 1, 2)
+        got = jnp.swapaxes(qconv2d_ft(x_ft, w), 1, 2)
         want = qconv(x, w, padding="SAME")
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
-    def test_grads_match(self):
-        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+    @pytest.mark.parametrize("scheme", ["ft10", "ft8"])
+    def test_grads_match(self, scheme):
+        from qasr.ops.pallas.qconv_ft import (
+            pack_to_stacked,
+            qconv2d_ft8_stacked,
+            qconv2d_ft_stacked,
+            stacked_to_pack,
+        )
 
         kx, kw = jax.random.split(jax.random.PRNGKey(1))
         x = _rand(kx, (1, 18, 7, 4 * 4))
         w = _rand(kw, (4, 3, 3, 4, 4))
-        g1 = jax.grad(lambda w: jnp.sum(qconv2d_fused(x, w, "SAME") ** 2))(w)
-        g2 = jax.grad(lambda w: jnp.sum(qconv(x, w) ** 2))(w)
-        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3)
+        fn = qconv2d_ft_stacked if scheme == "ft10" else qconv2d_ft8_stacked
+        x_st = pack_to_stacked(jnp.swapaxes(x, 1, 2))
+        g1x, g1w = jax.grad(
+            lambda x_, w_: jnp.sum(fn(x_, w_) ** 2), argnums=(0, 1)
+        )(x_st, w)
+        g2x, g2w = jax.grad(
+            lambda x_, w_: jnp.sum(
+                qconv(jnp.swapaxes(stacked_to_pack(x_), 1, 2), w_) ** 2
+            ),
+            argnums=(0, 1),
+        )(x_st, w)
+        np.testing.assert_allclose(g1w, g2w, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(g1x, g2x, rtol=1e-3, atol=1e-3)
 
-    def test_even_kernel_rejected(self):
-        from qasr.ops.pallas.qconv_fused import qconv2d_fused
+    def test_supported_gate(self):
+        from qasr.ops.pallas import qconv_ft
 
-        with pytest.raises(ValueError, match="odd"):
-            qconv2d_fused(jnp.ones((1, 8, 5, 4)), jnp.ones((4, 2, 3, 1, 1)), "SAME")
+        assert qconv_ft.supported(128, 256, (3, 3), "SAME", None)
+        assert not qconv_ft.supported(128, 256, (3, 3), "VALID", None)
+        assert not qconv_ft.supported(96, 256, (3, 3), "SAME", None)
+        assert not qconv_ft.supported(128, 256, (2, 3), "SAME", None)
+        assert not qconv_ft.supported(128, 256, (3, 3), "SAME", (2, 1))
