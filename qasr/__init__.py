@@ -25,6 +25,13 @@ _API = {
     "qconv": "qasr.ops.qlinalg",
     "qconv_fast10": "qasr.ops.qlinalg",
     "qdense": "qasr.ops.qlinalg",
+    "qdense_fast8": "qasr.ops.qlinalg",
+    "qconv_fast8_stacked": "qasr.ops.pallas.qconv_ft",
+    "qconv_fast10_stacked": "qasr.ops.pallas.qconv_ft",
+    "qconv2d_ft_stacked": "qasr.ops.pallas.qconv_ft",
+    "qconv2d_ft8_stacked": "qasr.ops.pallas.qconv_ft",
+    "tf_packed_to_stacked": "qasr.models.layers",
+    "stacked_to_tf_packed": "qasr.models.layers",
     "hamilton_product": "qasr.ops.quaternion",
     "quaternion_init": "qasr.ops.initializers",
     "quaternion_initializer": "qasr.ops.initializers",
