@@ -1,11 +1,16 @@
-"""Fused quaternion conv2d, frequency-major — the winning-shape Pallas kernel.
+"""Quaternion conv2d in the frequency-major stacked layout — the XLA stacked
+conv paths (the production default) and the fused Pallas kernel (R1).
 
 Native-delegation obligation R1 (SURVEY.md §2b): the reference's hot op is a
 real conv2d on the 4x-expanded block kernel (16 block products; SURVEY.md
-§3.2, mount empty). qasr's XLA `fast10` path already cuts that to 10 MXU
-products but pays HBM round-trips for the 6 two-term input combos and the
-10-product recombination. This kernel removes those and the layout taxes by
-choosing the data layout around the TPU's tiling rules:
+§3.2, mount empty). Everything here exploits a layout chosen around the
+TPU's tiling rules plus reduced-product bilinear schemes (rank-10 / rank-8,
+quaternion.py); the measured production path is `qconv_fast{10,8}_stacked`
+(plain XLA convs + a custom VJP whose dx is rotated-role forward convs),
+and `qconv2d_ft{,8}_stacked` is the fused Pallas kernel — its dots alone
+run at 97% of scheme speed-of-light, the quantified proof of attainable in
+docs/performance.md, and the fallback if a shape regime hits an XLA
+lowering cliff. Design of the Pallas kernel:
 
 * **F-major, component-stacked activations** ``[B, 4, F, T, C]``: the
   frequency taps (df) are *leading-dimension* slices of the flattened (f, t)
@@ -20,18 +25,19 @@ choosing the data layout around the TPU's tiling rules:
   kh time-tap shifts are in-VMEM sublane slices whose relayout cost measures
   as hidden under the MXU dots (benchmarks: ablation modes within noise of
   the dots-only skeleton).
-* The 10 Hamilton input combos (quaternion.py) are formed on the VPU once
-  per (dt, product) and reused across the kw frequency taps; all kh*kw*10
-  dots accumulate into 4 running f32 component sums.
-* The weight-combination tensor ``wc [10, S, C, TN]`` stays resident in VMEM
+* The scheme's input combos are formed on the VPU once per (dt, product)
+  and reused across the kw frequency taps; the kh*kw*P dots accumulate into
+  per-product f32 sums, recombined to the 4 components once per tile (keeps
+  VPU work under the MXU time even for the rank-8 scheme's dense O8).
+* The weight-combination tensor ``wc [P, S, C, TN]`` stays resident in VMEM
   across the whole (batch, time) grid — weights are never 4x-expanded.
 
 The same kernel body computes dx: a transposed quaternion conv is the same
-bilinear scheme with the roles rotated — input combos from OUT_COMBO columns,
-weights flip-transposed (`wc_dx`), output recombination from X_COMBO columns.
-dW delegates to the `jax.linear_transpose` of the XLA 10-product conv on the
-same stacked layout (10 correlation convs, contraction dim B*F*T — already
-MXU-shaped, no transposes).
+bilinear scheme with the roles rotated — input combos from the scheme's
+output matrix columns, weights flip-transposed (`wc_dx`), output
+recombination from the input matrix columns. dW delegates to the
+`jax.linear_transpose` of the XLA stacked conv (P correlation convs,
+contraction dim B*F*T — already MXU-shaped, no transposes).
 
 Constraints (wrapper-enforced; the layer router falls back to XLA otherwise):
 stride 1, odd kernels, SAME padding, bf16 compute, C % 128 == 0 and
