@@ -89,8 +89,11 @@ def run(seed, kv, ko, iters=6000, anneal_at=2000):
 
 
 best = None
-kv, ko = int(sys.argv[1]), int(sys.argv[2])
-for seed in range(int(sys.argv[3]) if len(sys.argv) > 3 else 40):
+# defaults reproduce the embedded scheme: kv=2 (2-sparse x combos),
+# ko=16 (O sparsity target; dense solutions still accepted), 120 seeds
+kv = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+ko = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+for seed in range(int(sys.argv[3]) if len(sys.argv) > 3 else 120):
     U, V, O, r = run(seed, kv, ko)
     if r < 1e-9:
         nnz_v = int((np.abs(V) > 1e-12).sum()); nnz_o = int((np.abs(O) > 1e-12).sum())
