@@ -67,19 +67,6 @@ want = (x.astype(jnp.float32).T @ y.astype(jnp.float32))
 import numpy as np
 print("dgt err:", float(jnp.max(jnp.abs(got - want))), "scale", float(jnp.std(want)))
 
-def chain_of(f):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(x, y, n):
-        def body(c, _):
-            o = f(x * (1 + c * 1e-20).astype(x.dtype), y)
-            return c + jnp.sum(o[:1, :1].astype(jnp.float32)) * 1e-20, ()
-        c, _ = lax.scan(body, jnp.float32(0), None, length=n)
-        return c
-    def run(n):
-        float(chain(x, y, n)); t0 = time.perf_counter(); float(chain(x, y, n))
-        return time.perf_counter() - t0
-    return run
-
 xT = jnp.asarray(x.T)
 def chain_of2(f, xx):
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -46,16 +46,16 @@ def tf_packed_to_stacked(x: jnp.ndarray) -> jnp.ndarray:
     The stacked layout is the conv-chain steady state (docs/performance.md):
     component slices are leading-dim indexes and frequency taps are free row
     slices, so neither XLA nor the Pallas kernel pays packed-layout reshapes.
-    One transpose at conv-stack entry; its inverse at exit.
+    One transpose at conv-stack entry; its inverse at exit. Defined in terms
+    of the op-level converters in qconv_ft so the layout contract lives in
+    one place.
     """
-    b, t, f, c4 = x.shape
-    return x.reshape(b, t, f, 4, c4 // 4).transpose(0, 3, 2, 1, 4)
+    return qconv_ft.pack_to_stacked(jnp.swapaxes(x, 1, 2))
 
 
 def stacked_to_tf_packed(x: jnp.ndarray) -> jnp.ndarray:
     """[B, 4, F, T, C] stacked -> [B, T, F, 4C] packed."""
-    b, _, f, t, c = x.shape
-    return x.transpose(0, 3, 2, 1, 4).reshape(b, t, f, 4 * c)
+    return jnp.swapaxes(qconv_ft.stacked_to_pack(x), 1, 2)
 
 
 class QConv(nn.Module):

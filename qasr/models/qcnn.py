@@ -70,6 +70,11 @@ class QCNNEncoder(nn.Module):
             "fused": "fused",
             "fused8": "fused8",
         }.get(self.variant)
+        if self.use_pallas:
+            # legacy knob selecting the im2col Pallas conv (QConv packed
+            # path); honor it rather than silently rerouting those layers
+            # into the stacked chain
+            chain_variant = None
         in_stacked = False
         for i, feats in enumerate(self.conv_features):
             cin = (x.shape[-1] if in_stacked else x.shape[-1] // 4)

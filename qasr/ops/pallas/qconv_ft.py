@@ -103,6 +103,15 @@ def _pad8(v: int) -> int:
     return _round_up(v, 8)
 
 
+def _scaled(val, coef):
+    """coef * val with ±1 shortcuts (coef is a static Python float)."""
+    if coef == 1.0:
+        return val
+    if coef == -1.0:
+        return -val
+    return val * val.dtype.type(coef)
+
+
 def _ft_kernel(
     xp_hbm,   # [B, 4, Fp, T_pad + pad8(kh-1), C] in HBM (ANY)
     wc_hbm,   # [P, S, C, N_pad] in HBM (ANY)
@@ -179,13 +188,6 @@ def _ft_kernel(
 
     x_dma(slot, b, i).wait()
 
-    def scaled(val, coef):
-        if coef == 1.0:
-            return val
-        if coef == -1.0:
-            return -val
-        return val * val.dtype.type(coef)
-
     # per-PRODUCT f32 accumulators: one plain add per dot; the (possibly
     # dense) output recombination runs ONCE per tile in the epilogue instead
     # of per (dt, df) tap — keeps VPU work well under the MXU dot time even
@@ -201,7 +203,7 @@ def _ft_kernel(
         for p in range(n_prods):
             cmb = None
             for a, coef in in_terms[p]:
-                term = scaled(comp[a], coef)
+                term = _scaled(comp[a], coef)
                 cmb = term if cmb is None else cmb + term
             for df in range(kw):
                 lhs = cmb[df * tt : df * tt + m]
@@ -218,7 +220,7 @@ def _ft_kernel(
             coef = out_coefs[bo][p]
             if coef == 0.0:
                 continue
-            term = scaled(accp[p], coef)
+            term = _scaled(accp[p], coef)
             acc = term if acc is None else acc + term
         o_ref[0, bo] = acc.reshape(f_out, tt, tn).astype(o_ref.dtype)
 
@@ -389,18 +391,11 @@ def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):
         sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
     )
 
-    def scaled(val, coef):
-        if coef == 1.0:
-            return val
-        if coef == -1.0:
-            return -val
-        return val * jnp.asarray(coef, val.dtype)
-
     prods = []
     for p in range(scheme.n_prods):
         xc = None
         for a, coef in scheme.fwd_in[p]:
-            term = scaled(x_st[:, a], coef)
+            term = _scaled(x_st[:, a], coef)
             xc = term if xc is None else xc + term
         prods.append(
             lax.conv_general_dilated(
@@ -416,7 +411,7 @@ def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):
             for b_, coef in scheme.fwd_out[p]
             if b_ == bo
         ):
-            term = scaled(prods[p], coef)
+            term = _scaled(prods[p], coef)
             acc = term if acc is None else acc + term
         outs.append(acc)
     return jnp.stack(outs, axis=1)  # [B, 4, F, T, Cout]
@@ -436,24 +431,17 @@ def _qconv_stacked_dx_xla(dy_st, w, scheme: _Scheme):
         sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
     )
 
-    def scaled(val, coef):
-        if coef == 1.0:
-            return val
-        if coef == -1.0:
-            return -val
-        return val * jnp.asarray(coef, val.dtype)
-
     outs = [None] * 4
     for p in range(scheme.n_prods):
         dyc = None
         for b_, coef in scheme.fwd_out[p]:
-            term = scaled(dy_st[:, b_], coef)
+            term = _scaled(dy_st[:, b_], coef)
             dyc = term if dyc is None else dyc + term
         prod = lax.conv_general_dilated(
             dyc, wc[p], (1, 1), "SAME", dimension_numbers=dn
         )
         for a, coef in scheme.fwd_in[p]:
-            term = scaled(prod, coef)
+            term = _scaled(prod, coef)
             outs[a] = term if outs[a] is None else outs[a] + term
     return jnp.stack(outs, axis=1)
 
@@ -480,9 +468,16 @@ _FAST10_STACKED_SAME = _make_stacked_xla(SCHEME10)
 _FAST8_STACKED_SAME = _make_stacked_xla(SCHEME8)
 
 
+def _use_custom_vjp(w, padding):
+    # the rotated-role forward-conv dx only equals the true transpose when
+    # SAME padding is symmetric, i.e. odd kernels; otherwise fall back to
+    # autodiff of the plain formulation
+    return padding == "SAME" and w.shape[1] % 2 == 1 and w.shape[2] % 2 == 1
+
+
 def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
     """XLA 10-product quaternion conv, stacked F-major layout."""
-    if padding == "SAME":
+    if _use_custom_vjp(w, padding):
         return _FAST10_STACKED_SAME(x_st, w)
     return _qconv_stacked_xla(x_st, w, SCHEME10, padding)
 
@@ -490,7 +485,7 @@ def qconv_fast10_stacked(x_st, w, *, padding="SAME"):
 def qconv_fast8_stacked(x_st, w, *, padding="SAME"):
     """XLA rank-8 quaternion conv, stacked F-major layout (8/16 the MXU
     FLOPs of the reference's expanded conv; see quaternion.py U8/V8/O8)."""
-    if padding == "SAME":
+    if _use_custom_vjp(w, padding):
         return _FAST8_STACKED_SAME(x_st, w)
     return _qconv_stacked_xla(x_st, w, SCHEME8, padding)
 

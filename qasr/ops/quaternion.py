@@ -217,12 +217,9 @@ O8 = np.array([
 def hamilton_tensor() -> np.ndarray:
     """The 4x4x4 product tensor T with y_k = Σ_ij T[i,j,k] w_i x_j (the
     object the 10- and 8-product schemes decompose; used by tests)."""
+    # built from the sign/component tables: y_b = Σ_a sign[a,b] x_a W[comp];
+    # T[w_idx, x_idx, out] with w_idx = comp[a, b], x_idx = a
     t = np.zeros((4, 4, 4))
-    for a in range(4):
-        for b in range(4):
-            t[HAMILTON_COMP[a, b], a, b] += 0  # keep shape clear
-    # build from the sign/component tables: y_b = Σ_a sign[a,b) x_a W[comp]
-    # i.e. T[w_idx, x_idx, out] with w_idx = comp[a, b], x_idx = a
     for a in range(4):
         for b in range(4):
             t[HAMILTON_COMP[a, b], a, b] += float(HAMILTON_SIGN[a, b])

@@ -181,3 +181,32 @@ class TestFtConv:
         assert not qconv_ft.supported(96, 256, (3, 3), "SAME", None)
         assert not qconv_ft.supported(128, 256, (2, 3), "SAME", None)
         assert not qconv_ft.supported(128, 256, (3, 3), "SAME", (2, 1))
+
+
+class TestEvenKernelVjpGate:
+    def test_even_kernel_grads_fall_back_to_autodiff(self):
+        """The rotated-role custom-VJP dx is only valid for odd kernels
+        (symmetric SAME padding); even kernels must route to autodiff of the
+        plain formulation — dx would otherwise be computed with mirrored
+        padding offsets."""
+        from qasr.ops.pallas.qconv_ft import (
+            pack_to_stacked,
+            qconv_fast8_stacked,
+            stacked_to_pack,
+        )
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(4))
+        x = _rand(kx, (1, 12, 6, 4 * 3))
+        w = _rand(kw, (4, 2, 2, 3, 3)) * 0.3
+        x_st = pack_to_stacked(jnp.swapaxes(x, 1, 2))
+        gx, gw = jax.grad(
+            lambda a, b: jnp.sum(qconv_fast8_stacked(a, b) ** 2), argnums=(0, 1)
+        )(x_st, w)
+        gxr, gwr = jax.grad(
+            lambda a, b: jnp.sum(
+                qconv(jnp.swapaxes(stacked_to_pack(a), 1, 2), b) ** 2
+            ),
+            argnums=(0, 1),
+        )(x_st, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxr), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gwr), rtol=1e-3, atol=1e-3)

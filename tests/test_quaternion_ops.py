@@ -286,3 +286,22 @@ class TestRank8Scheme:
         np.testing.assert_allclose(
             np.asarray(g8[0]), np.asarray(gref[0]), atol=3e-3, rtol=3e-3
         )
+
+
+class TestQDenseFast8:
+    def test_matches_block_dense(self):
+        from qasr.ops.qlinalg import qdense_fast8
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        x = jax.random.normal(k1, (32, 4 * 24))
+        w = jax.random.normal(k2, (4, 24, 10)) * 0.2
+        np.testing.assert_allclose(
+            np.asarray(qdense_fast8(x, w)),
+            np.asarray(qdense(x, w)),
+            atol=2e-4,
+            rtol=2e-4,
+        )
+        g8 = jax.grad(lambda a, b: jnp.sum(qdense_fast8(a, b) ** 2), argnums=(0, 1))(x, w)
+        gb = jax.grad(lambda a, b: jnp.sum(qdense(a, b) ** 2), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g8[0]), np.asarray(gb[0]), atol=3e-4, rtol=3e-4)
+        np.testing.assert_allclose(np.asarray(g8[1]), np.asarray(gb[1]), atol=3e-3, rtol=3e-3)

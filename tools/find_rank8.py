@@ -7,9 +7,6 @@ The bilinear rank of quaternion multiplication is exactly 8 (De Groote);
 x-side rows (V) and out-side columns (O) only need to be SPARSE (<= k nnz) —
 coefficients can be arbitrary reals since a VPU FMA costs the same as an
 add. U (w-side) is free: weight combos are precomputed.
-
-x-side rows (V) and out-side columns (O) only need to be sparse (<=k nnz) —
-coefficients can be arbitrary reals (VPU FMA == add cost). U (w-side) free.
 Hard-thresholded ALS with restarts; verify exact residual.
 """
 import sys
@@ -48,7 +45,7 @@ def solve_U(V, O):
     return U
 
 
-def solve_V(U, O, k=None):
+def solve_V(U, O):
     M = np.einsum("pi,kp->pik", U, O).reshape(R, 16)
     V, *_ = np.linalg.lstsq(M.T, Tj.T, rcond=None)
     return V
