@@ -104,8 +104,22 @@ def create_sharded_train_state(cfg: Config, rng: jax.Array, sample_features, mes
     return state, shardings
 
 
-def make_sharded_train_step(cfg: Config, mesh: Mesh, state_shardings, sample_batch):
-    """Build the pjit train step with explicit in/out shardings."""
+def make_sharded_train_step(
+    cfg: Config,
+    mesh: Mesh,
+    state_shardings,
+    sample_batch,
+    *,
+    adapt_host_batches: bool = True,
+):
+    """Build the pjit train step with explicit in/out shardings.
+
+    ``adapt_host_batches=True`` (default) wraps the step so multi-host
+    callers can feed host-replicated numpy batches; this requires the mesh's
+    data axis to be process-contiguous (see _multihost_adapter). Pass False
+    for meshes that interleave processes along the model axis and feed
+    global jax.Arrays (e.g. via multihost_utils.host_local_array_to_
+    global_array) yourself — tests/multihost_worker.py shows the pattern."""
     model = build_model(cfg)
     tx = build_optimizer(cfg)
     loss_fn = make_loss_fn(cfg, model)
@@ -130,6 +144,8 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, state_shardings, sample_bat
         }
         return new_state, metrics
 
+    if not adapt_host_batches:
+        return train_step
     # outputs (state, replicated-scalar metrics) need no host-local view
     return _multihost_adapter(mesh, train_step)
 

@@ -61,12 +61,43 @@ def run_workload(num_steps: int = 4):
 
     beam_step = make_sharded_beam_decode_step(cfg, mesh, shardings, batches[0])
     ev = evaluate(cfg, state.params, ds, None, beam_step=beam_step)
+
+    # TP across the process boundary: interleave the device grid so the
+    # model axis spans both hosts — weight all-gathers ride the inter-
+    # process link (gloo here, ICI/DCN on real slices), not just intra-host
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    grid = np.asarray(jax.devices()).reshape(4, 2).T  # model axis mixes hosts
+    mesh_x = Mesh(grid, ("data", "model"))
+    state_x, sh_x = create_sharded_train_state(
+        cfg, jax.random.PRNGKey(0), batches[0]["features"], mesh_x
+    )
+    # this mesh interleaves processes along the model axis, so the host-
+    # batch adapter's process-contiguous-rows contract does not apply:
+    # build the global batch explicitly (each data row spans both hosts,
+    # so every process passes the full host-replicated batch)
+    step_x = make_sharded_train_step(
+        cfg, mesh_x, sh_x, batches[0], adapt_host_batches=False
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gb = multihost_utils.host_local_array_to_global_array(
+            dict(batches[0]), mesh_x, P("data")
+        )
+    else:
+        gb = batches[0]
+    _, m_x = step_x(state_x, gb)
+    tp_cross_loss = float(m_x["loss"])
+
     return {
         "process_count": jax.process_count(),
         "losses": losses,
         "pnorm": pnorm,
         "eval_loss": ev["loss"],
         "per": ev["per"],
+        "tp_cross_loss": tp_cross_loss,
     }
 
 

@@ -88,6 +88,10 @@ class TestTwoProcessParity:
         # PER counters pass through aggregate_per (allgather) on both hosts
         assert r0["per"] == r1["per"]
         assert r0["eval_loss"] == pytest.approx(r1["eval_loss"], rel=1e-6)
+        # the cross-process-TP step (model axis spanning both hosts) ran
+        # and produced identical replicated loss on both
+        assert np.isfinite(r0["tp_cross_loss"])
+        assert r0["tp_cross_loss"] == r1["tp_cross_loss"]
 
     def test_matches_single_process(self, multihost_results):
         from tests.multihost_worker import run_workload
@@ -106,3 +110,6 @@ class TestTwoProcessParity:
             r0["eval_loss"], single["eval_loss"], rtol=2e-3, atol=1e-3
         )
         assert r0["per"] == pytest.approx(single["per"], abs=0.02)
+        np.testing.assert_allclose(
+            r0["tp_cross_loss"], single["tp_cross_loss"], rtol=2e-4, atol=1e-4
+        )
