@@ -41,6 +41,23 @@ def host_rows(tree):
     return jax.tree_util.tree_map(slc, tree)
 
 
+def _data_axis_process_contiguous(mesh: Mesh) -> bool:
+    """Whether each data-axis row lives on one process, with rows ordered by
+    process index — the layout under which a process-contiguous slice of a
+    host-replicated batch is that process's local shard view."""
+    import numpy as np
+
+    axis = mesh.axis_names.index(DATA_AXIS)
+    rows = np.moveaxis(mesh.devices, axis, 0).reshape(mesh.shape[DATA_AXIS], -1)
+    procs = []
+    for row in rows:
+        owners = {d.process_index for d in row}
+        if len(owners) != 1:
+            return False
+        procs.append(next(iter(owners)))
+    return procs == sorted(procs)
+
+
 def _multihost_adapter(mesh: Mesh, step, out_specs=None):
     """Make a sharded step consumable with host-replicated numpy batches.
 
@@ -55,6 +72,15 @@ def _multihost_adapter(mesh: Mesh, step, out_specs=None):
     """
     if jax.process_count() == 1:
         return step
+
+    if not _data_axis_process_contiguous(mesh):
+        raise ValueError(
+            "host-replicated batch adapter requires the mesh's data axis to "
+            "be process-contiguous (each data row on one process, rows "
+            "ordered by process); this mesh interleaves processes — build "
+            "the step with adapt_host_batches=False and feed global arrays "
+            "(multihost_utils.host_local_array_to_global_array)"
+        )
 
     from jax.experimental import multihost_utils
 

@@ -91,7 +91,17 @@ def run_workload(num_steps: int = 4):
     _, m_x = step_x(state_x, gb)
     tp_cross_loss = float(m_x["loss"])
 
+    # and the adapter must REFUSE this mesh rather than silently diverge
+    adapter_guard = True
+    if jax.process_count() > 1:
+        try:
+            make_sharded_train_step(cfg, mesh_x, sh_x, batches[0])
+            adapter_guard = False
+        except ValueError:
+            pass
+
     return {
+        "adapter_guard": adapter_guard,
         "process_count": jax.process_count(),
         "losses": losses,
         "pnorm": pnorm,

@@ -92,6 +92,8 @@ class TestTwoProcessParity:
         # and produced identical replicated loss on both
         assert np.isfinite(r0["tp_cross_loss"])
         assert r0["tp_cross_loss"] == r1["tp_cross_loss"]
+        # the host-batch adapter refuses process-interleaved meshes
+        assert r0["adapter_guard"] and r1["adapter_guard"]
 
     def test_matches_single_process(self, multihost_results):
         from tests.multihost_worker import run_workload
