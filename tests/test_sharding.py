@@ -347,3 +347,52 @@ class TestFast10Sharded:
         np.testing.assert_allclose(
             np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-5
         )
+
+
+class TestStackedChainSharded:
+    """The production default path (rank-8 stacked F-major chain) under
+    DP x TP sharding must match the single-device step — the tiny fixtures
+    above never reach the 128-channel stacked entry gate, so this is the
+    only strict parity coverage of the stacked conv chain under a mesh."""
+
+    def test_stacked8_dp_tp_matches_single_device(self):
+        cfg = get_config("tiny_synthetic").override(
+            **{
+                "model.conv_features": "(128, 128)",
+                "model.dense_features": "(16,)",
+                "data.batch_size": 8,
+                "data.bucket_sizes": "(32,)",
+                "data.max_label_len": 8,
+            }
+        )
+        ds = SyntheticDataset(
+            vocab=cfg.model.vocab,
+            n_mels=cfg.data.n_mels,
+            num_examples=8,
+            seed=0,
+            max_labels=4,
+            max_dur=4,
+        )
+        batch = next(iter(epoch_iterator(ds, cfg.data, train=False)))
+
+        mesh = make_mesh(4, 2)
+        state_s, sh = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(0), batch["features"], mesh
+        )
+        # the fat layer's kernel really is TP-sharded
+        assert sh.params["qconv_1"]["kernel"].spec == P(
+            None, None, None, None, MODEL_AXIS
+        )
+        step_s = make_sharded_train_step(cfg, mesh, sh, batch)
+        new_s, m_s = step_s(state_s, shard_batch(mesh, batch))
+
+        state_1 = create_train_state(cfg, jax.random.PRNGKey(0), batch["features"])
+        step_1 = make_train_step(cfg)
+        new_1, m_1 = step_1(state_1, dict(batch))
+
+        np.testing.assert_allclose(
+            float(m_s["loss"]), float(m_1["loss"]), rtol=2e-5, atol=2e-5
+        )
+        k_s = np.asarray(new_s.params["qconv_1"]["kernel"])
+        k_1 = np.asarray(new_1.params["qconv_1"]["kernel"])
+        np.testing.assert_allclose(k_s, k_1, rtol=1e-4, atol=1e-4)
