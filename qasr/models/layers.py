@@ -72,7 +72,9 @@ class QConv(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
-    variant: str = "auto"  # auto | block | fast | fast10 | stacked | fused
+    # auto | block | fast | fast10 | legacy_auto | stacked | stacked8 |
+    # fused | fused8 (stacked* variants require layout="stacked_ft")
+    variant: str = "auto"
     layout: str = "btfc"   # btfc (packed [B,T,F,4C]) | stacked_ft ([B,4,F,T,C])
 
     @nn.compact
