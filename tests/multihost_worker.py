@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_workload(num_steps: int = 4):
+def run_workload(num_steps: int = 4, ckpt_dir: str | None = None):
     """Train + beam-eval the tiny synthetic config on a (data=4, model=2)
     mesh built from all global devices. Works single- or multi-process:
     every process sees the same host-replicated global batches (same dataset
@@ -58,6 +58,30 @@ def run_workload(num_steps: int = 4):
         losses.append(float(m["loss"]))
 
     pnorm = float(jax.jit(optax_global_norm)(state.params))
+
+    # multi-host-safe checkpoint round trip (SURVEY.md §5): every process
+    # participates in the Orbax save/restore of the sharded state; the
+    # restored state must reproduce the live one exactly and train on
+    ckpt_restore_diff = None
+    resumed_loss = None
+    if ckpt_dir is not None:
+        from qasr.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(
+            cfg.override(**{"train.checkpoint_dir": ckpt_dir})
+        )
+        ckpt.save(int(state.step), state)
+        ckpt.wait()
+        fresh, _ = create_sharded_train_state(
+            cfg, jax.random.PRNGKey(99), batches[0]["features"], mesh
+        )
+        restored = ckpt.restore(ckpt.latest_step(), fresh)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp_abs_max(a, b)), restored.params, state.params
+        )
+        ckpt_restore_diff = max(jax.tree_util.tree_leaves(diffs))
+        _, m_r = train_step(restored, batches[0])
+        resumed_loss = float(m_r["loss"])
 
     beam_step = make_sharded_beam_decode_step(cfg, mesh, shardings, batches[0])
     ev = evaluate(cfg, state.params, ds, None, beam_step=beam_step)
@@ -108,7 +132,15 @@ def run_workload(num_steps: int = 4):
         "eval_loss": ev["loss"],
         "per": ev["per"],
         "tp_cross_loss": tp_cross_loss,
+        "ckpt_restore_diff": ckpt_restore_diff,
+        "resumed_loss": resumed_loss,
     }
+
+
+def jnp_abs_max(a, b):
+    import jax.numpy as jnp
+
+    return jnp.max(jnp.abs(a - b))
 
 
 def main():
@@ -134,7 +166,10 @@ def main():
     assert jax.local_device_count() == 4
     assert jax.device_count() == 4 * nproc
 
-    result = run_workload()
+    # shared checkpoint dir: both processes write/read the same tree
+    result = run_workload(
+        ckpt_dir=os.path.join(os.path.dirname(os.path.abspath(out_path)), "ckpt")
+    )
     with open(out_path, "w") as f:
         json.dump(result, f)
 

@@ -94,12 +94,18 @@ class TestTwoProcessParity:
         assert r0["tp_cross_loss"] == r1["tp_cross_loss"]
         # the host-batch adapter refuses process-interleaved meshes
         assert r0["adapter_guard"] and r1["adapter_guard"]
+        # multi-host Orbax round trip: exact params back, training resumes
+        assert r0["ckpt_restore_diff"] == 0.0
+        assert r1["ckpt_restore_diff"] == 0.0
+        assert r0["resumed_loss"] == r1["resumed_loss"]
+        assert np.isfinite(r0["resumed_loss"])
 
-    def test_matches_single_process(self, multihost_results):
+    def test_matches_single_process(self, multihost_results, tmp_path):
         from tests.multihost_worker import run_workload
 
-        single = run_workload()
+        single = run_workload(ckpt_dir=str(tmp_path / "ckpt"))
         assert single["process_count"] == 1
+        assert single["ckpt_restore_diff"] == 0.0
         r0 = multihost_results[0]
         # same global batches, same mesh shape -> same training trajectory
         # (fp reduction orderings may differ between the gloo 2-process run
