@@ -211,6 +211,31 @@ class TestRemat:
             float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4
         )
 
+    def test_remat_composes_with_stacked_custom_vjp(self):
+        """jax.checkpoint over the rank-8 stacked chain (whose dx/dW come
+        from a custom VJP) must reproduce plain grads exactly."""
+        from qasr.models.qcnn import QCNNEncoder
+
+        m = QCNNEncoder(
+            variant="stacked8",
+            conv_features=(8, 128),
+            dense_features=(8,),
+            vocab=8,
+            pool_after=1,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 40, 4))
+        p = m.init(jax.random.PRNGKey(1), x, train=False)["params"]
+
+        import jax.numpy as jnp
+
+        def loss(p):
+            return jnp.sum(m.apply({"params": p}, x, train=False) ** 2)
+
+        g1 = jax.tree_util.tree_leaves(jax.grad(loss)(p))
+        g2 = jax.tree_util.tree_leaves(jax.grad(jax.checkpoint(loss))(p))
+        for a, b in zip(g1, g2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestBatchStream:
     def test_resume_reproduces_exact_batches(self):
