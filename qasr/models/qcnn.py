@@ -114,9 +114,14 @@ class QCNNEncoder(nn.Module):
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         if in_stacked:
-            x = stacked_to_tf_packed(x)
-        # fold (F, 4C) -> packed 4*(F*C) keeping component-major layout
-        x = flatten_quaternion(x)
+            # fused exit: stacked [B,4,F,T,C] -> flattened packed
+            # [B,T,4*(F*C)] in ONE transpose (equivalent to
+            # flatten_quaternion(stacked_to_tf_packed(x)) which would pay two)
+            b_, _, f_, t_, c_ = x.shape
+            x = x.transpose(0, 3, 1, 2, 4).reshape(b_, t_, 4 * f_ * c_)
+        else:
+            # fold (F, 4C) -> packed 4*(F*C) keeping component-major layout
+            x = flatten_quaternion(x)
         for i, feats in enumerate(self.dense_features):
             x = QDense(
                 features=feats,
