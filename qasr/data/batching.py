@@ -48,6 +48,7 @@ def make_batch(
     examples: list,
     bucket: int,
     max_label_len: int,
+    num_real: int | None = None,
 ) -> Batch:
     """Pad a list of (features [T,F,4], labels [L]) examples to static shapes.
 
@@ -55,6 +56,11 @@ def make_batch(
     are truncated; labels are additionally clamped to the CTC-feasible length
     for the (possibly truncated) frame count, with a warning — an infeasible
     pair would train on a ~1e30 loss.
+
+    ``num_real``: number of leading rows that are real utterances. Remainder
+    batches keep static batch shape by repeating a row; those pad rows carry
+    ``real_rows=False`` so eval scores each utterance exactly once and the
+    loss excludes them (reference protocol: every utterance scored once).
     """
     b = len(examples)
     f = examples[0][0].shape[1]
@@ -85,11 +91,15 @@ def make_batch(
             "transcripts",
             stacklevel=2,
         )
+    real = np.ones((b,), bool)
+    if num_real is not None:
+        real[num_real:] = False
     return Batch(
         features=feats,
         feature_lengths=flens,
         labels=labels,
         label_lengths=llens,
+        real_rows=real,
     )
 
 
@@ -123,10 +133,12 @@ def bucketed_batches(
     if not drop_remainder:
         for bucket, pool in pools.items():
             if pool:
-                # pad the batch dim with repeats to keep static batch size
+                # pad the batch dim with repeats to keep static batch size;
+                # real_rows marks the pads so they are never scored twice
+                n_real = len(pool)
                 while len(pool) < batch_size:
                     pool.append(pool[0])
-                yield make_batch(pool, bucket, max_label_len)
+                yield make_batch(pool, bucket, max_label_len, num_real=n_real)
 
 
 class _PairView:

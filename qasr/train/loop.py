@@ -243,15 +243,27 @@ def evaluate(
         out = step_fn(params, batch)
         # weight each batch's mean loss by its scored reference tokens so the
         # epoch loss stays an honest per-token average if batch content varies
-        losses.append((float(out["loss"]), int(np.sum(batch["label_lengths"]))))
+        # (pad rows of remainder batches carry zero weight — loss_fn already
+        # excludes them, so weight by REAL tokens only)
+        real = np.asarray(batch["real_rows"])
+        losses.append(
+            (float(out["loss"]), int(np.sum(batch["label_lengths"] * real)))
+        )
         # multi-host: sharded steps return host-local decoded rows; score them
-        # against the same host's slice of the (host-replicated) references
-        refs = host_rows({k: batch[k] for k in ("labels", "label_lengths")})
+        # against the same host's slice of the (host-replicated) references.
+        # Remainder-batch pad rows (real_rows=False) are dropped so each
+        # utterance is scored exactly once (reference protocol).
+        refs = host_rows(
+            {k: batch[k] for k in ("labels", "label_lengths", "real_rows")}
+        )
+        keep = np.asarray(refs["real_rows"])
+        if not keep.any():  # this host's slice can be all pads on multi-host
+            continue
         e, n = batch_per(
-            refs["labels"],
-            refs["label_lengths"],
-            np.asarray(out["decoded"]),
-            np.asarray(out["decoded_lengths"]),
+            np.asarray(refs["labels"])[keep],
+            np.asarray(refs["label_lengths"])[keep],
+            np.asarray(out["decoded"])[keep],
+            np.asarray(out["decoded_lengths"])[keep],
             fold=cfg.data.dataset == "timit",
         )
         errs += e

@@ -56,8 +56,16 @@ def make_loss_fn(cfg: Config, model) -> Callable:
             batch["label_lengths"],
             blank_id=blank,
         )
-        # normalize per label token (standard CTC reporting); guard empties
-        denom = jnp.maximum(batch["label_lengths"].sum(), 1)
+        # normalize per label token (standard CTC reporting); guard empties.
+        # real_rows (when present) masks remainder-batch pad rows out of both
+        # numerator and denominator — pads must not bias the per-token loss
+        # (reference protocol scores each utterance once).
+        label_lens = batch["label_lengths"]
+        mask = batch.get("real_rows")
+        if mask is not None:
+            losses = losses * mask
+            label_lens = label_lens * mask
+        denom = jnp.maximum(label_lens.sum(), 1)
         loss = losses.sum() / denom
         return loss, logits
 

@@ -115,6 +115,82 @@ class TestBatching:
         assert (batch["features"][i, t:] == 0).all()
 
 
+class TestEvalPadRows:
+    """Remainder-batch padding must not double-score utterances (the
+    reference protocol scores each utterance exactly once)."""
+
+    def test_remainder_batches_mark_pad_rows(self):
+        from qasr.data.batching import _PairView, bucketed_batches
+
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=17, seed=0)
+        cfg = get_config("tiny_synthetic").data
+        batches = list(
+            bucketed_batches(
+                _PairView(ds),
+                batch_size=16,
+                bucket_sizes=cfg.bucket_sizes,
+                max_label_len=cfg.max_label_len,
+                shuffle=False,
+                drop_remainder=False,
+            )
+        )
+        assert all(b["real_rows"].shape[0] == 16 for b in batches)
+        assert sum(int(b["real_rows"].sum()) for b in batches) == 17
+        # pad rows are a contiguous tail (host_rows slicing relies on this)
+        for b in batches:
+            r = b["real_rows"]
+            assert (np.diff(r.astype(int)) <= 0).all()
+
+    def test_evaluate_scores_each_utterance_once(self, monkeypatch):
+        """17-utterance dev set at B=16 -> exactly 17 scored rows, not 32."""
+        import qasr.train.loop as loop_mod
+
+        cfg = get_config("tiny_synthetic").override(
+            **{"data.batch_size": 16, "data.num_synthetic": 17}
+        )
+        ds = SyntheticDataset(
+            vocab=cfg.model.vocab, n_mels=cfg.data.n_mels,
+            num_examples=17, seed=0,
+        )
+        first = next(iter(epoch_iterator(ds, cfg.data, train=False)))
+        state = create_train_state(cfg, jax.random.PRNGKey(0), first["features"])
+
+        scored = []
+        real_bp = loop_mod.batch_per
+
+        def counting_bp(refs, ref_lens, hyps, hyp_lens, **kw):
+            scored.append(len(ref_lens))
+            return real_bp(refs, ref_lens, hyps, hyp_lens, **kw)
+
+        monkeypatch.setattr(loop_mod, "batch_per", counting_bp)
+        dev = evaluate(cfg, state.params, ds, make_eval_step(cfg))
+        assert sum(scored) == 17
+        assert np.isfinite(dev["loss"])
+
+    def test_masked_loss_ignores_pad_rows(self):
+        """The per-token eval loss must be identical whether an utterance
+        arrives alone or alongside masked pad repeats."""
+        from qasr.data.batching import make_batch
+        from qasr.train.step import make_loss_fn
+        from qasr.train.state import build_model
+
+        cfg = get_config("tiny_synthetic")
+        ds = SyntheticDataset(vocab=12, n_mels=8, num_examples=3, seed=0)
+        exs = [(ds[i].features, ds[i].labels) for i in range(3)]
+        solo = make_batch(exs, 64, cfg.data.max_label_len)
+        padded = make_batch(exs + [exs[0]] * 5, 64, cfg.data.max_label_len,
+                            num_real=3)
+        model = build_model(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jax.numpy.asarray(solo["features"]), train=False,
+        )["params"]
+        loss_fn = make_loss_fn(cfg, model)
+        l_solo, _ = loss_fn(params, solo, jax.random.PRNGKey(0), False)
+        l_pad, _ = loss_fn(params, padded, jax.random.PRNGKey(0), False)
+        np.testing.assert_allclose(float(l_solo), float(l_pad), rtol=1e-5)
+
+
 class TestTrainSmoke:
     def test_loss_decreases_and_per_beats_chance(self, tiny_cfg):
         state, metrics = train(tiny_cfg)
