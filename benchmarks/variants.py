@@ -52,6 +52,10 @@ def main():
         "stacked8": {"model.op_variant": "stacked8"},  # XLA rank-8 stacked
         "fused": {"model.op_variant": "fused"},      # Pallas qconv_ft chain
         "fused8": {"model.op_variant": "fused8"},    # Pallas rank-8 chain
+        # chain-resident Pallas kernel: pad once, bias+PReLU fused, margins
+        # re-zeroed in-kernel (qconv_chain.py)
+        "fusedchain": {"model.op_variant": "fusedchain"},
+        "fusedchain8": {"model.op_variant": "fusedchain8"},
         "legacy_auto": {"model.op_variant": "legacy_auto"},  # pre-stacked auto
         "block": {"model.op_variant": "block"},
         "fast": {"model.op_variant": "fast"},
@@ -60,6 +64,11 @@ def main():
         "dense_fast8": {"model.dense_variant": "fast8"},  # rank-8 dense, conv auto
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
+        # config-4 (qlstm preset) arms: equal-real-width LSTM ablation and
+        # the rank-8 recurrent A/B (with a qlstm preset, "auto" = fast8
+        # input projection + block recurrent, "block" = all-block)
+        "real_lstm": {"model.arch": "real_lstm"},
+        "fast8_recurrent": {"model.op_variant": "fast8_recurrent"},
     }
     arms = {}
     for name in args.arms.split(","):

@@ -73,12 +73,23 @@ class QConv(nn.Module):
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     use_pallas: bool = False
     # auto | block | fast | fast10 | legacy_auto | stacked | stacked8 |
-    # fused | fused8 (stacked* variants require layout="stacked_ft")
+    # fused | fused8 (stacked* variants require layout="stacked_ft") |
+    # fusedchain | fusedchain8 (layout="padded_ft": chain-resident kernel)
     variant: str = "auto"
-    layout: str = "btfc"   # btfc (packed [B,T,F,4C]) | stacked_ft ([B,4,F,T,C])
+    # btfc (packed [B,T,F,4C]) | stacked_ft ([B,4,F,T,C]) |
+    # padded_ft (the qconv_chain margin-padded buffer)
+    layout: str = "btfc"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        prologue_alpha: jnp.ndarray | None = None,
+        t_valid: int | None = None,
+    ) -> jnp.ndarray:
+        if self.layout == "padded_ft":
+            return self._call_padded(x, prologue_alpha, t_valid)
         if self.layout == "stacked_ft":
             return self._call_stacked(x)
         cin4 = x.shape[-1]
@@ -93,7 +104,10 @@ class QConv(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         impl = self.variant
-        if impl in ("stacked", "fused", "stacked8", "fused8", "legacy_auto"):
+        if impl in (
+            "stacked", "fused", "stacked8", "fused8", "legacy_auto",
+            "fusedchain", "fusedchain8",
+        ):
             # stacked-chain variants reaching the packed path (e.g. a thin
             # layer the encoder kept packed), and the pre-stacked routing
             # kept for A/B ("legacy_auto"), use the measured auto routing
@@ -154,12 +168,13 @@ class QConv(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         rank8 = self.variant.endswith("8")
-        use_fused = (
-            self.variant in ("fused", "fused8")
-            and dtype == jnp.bfloat16
-            and qconv_ft.supported(
-                cin, self.features, self.kernel_size, self.padding, self.strides
-            )
+        use_fused = self.variant in ("fused", "fused8") and qconv_ft.supported(
+            cin,
+            self.features,
+            self.kernel_size,
+            self.padding,
+            self.strides,
+            dtype=dtype,
         )
         if use_fused:
             fn = (
@@ -179,6 +194,54 @@ class QConv(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
             y = y + bias.astype(dtype).reshape(4, 1, 1, self.features)
         return y
+
+    def _call_padded(
+        self,
+        x: jnp.ndarray,
+        prologue_alpha: jnp.ndarray | None,
+        t_valid: int | None,
+    ) -> jnp.ndarray:
+        """Chain-resident path: x is the qconv_chain margin-padded buffer
+        ``[B, 4, Fp, TB, Cin]``; returns this layer's PRE-activation in the
+        same buffer (bias fused in the kernel epilogue, the previous layer's
+        PReLU fused in the prologue via ``prologue_alpha``). Params are
+        identical to the other layouts — checkpoints stay layout-independent.
+        """
+        from qasr.ops.pallas import qconv_chain
+
+        if t_valid is None:
+            raise ValueError("padded_ft layout requires t_valid")
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            quaternion_initializer(self.criterion),
+            (4, *self.kernel_size, cin, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if not qconv_chain.supported(
+            cin, self.features, self.kernel_size, self.padding, self.strides,
+            dtype=dtype,
+        ):
+            raise ValueError(
+                f"padded_ft layout unsupported for cin={cin} "
+                f"features={self.features} dtype={dtype} — the encoder must "
+                "gate chain entry on qconv_chain.supported"
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (4 * self.features,)
+            )
+        else:
+            bias = jnp.zeros((4 * self.features,), jnp.float32)
+        return qconv_chain.chain_layer(
+            x,
+            kernel.astype(dtype),
+            bias.astype(dtype),
+            None if prologue_alpha is None else prologue_alpha.astype(dtype),
+            t_valid=t_valid,
+            scheme="fast8" if self.variant.endswith("8") else "fast10",
+        )
 
 
 class QDense(nn.Module):
@@ -231,12 +294,20 @@ class PReLU(nn.Module):
     """Split (component-wise) PReLU: the paper's activation (SURVEY.md C4).
 
     One learnable slope per real channel, as Keras stock PReLU does.
+
+    ``return_slope=True`` declares the (identically shaped) parameter and
+    returns it WITHOUT applying the activation — the chain-resident fused
+    conv path (qconv_chain) applies this layer's slopes inside the next
+    conv kernel's prologue, so the module must expose the param while the
+    elementwise op itself never materializes.
     """
 
     negative_slope_init: float = 0.25
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, return_slope: bool = False
+    ) -> jnp.ndarray:
         if x.ndim == 5 and x.shape[1] == 4:
             # component-stacked [B, 4, F, T, C]: same per-real-channel alpha
             # as the packed path (param shape [4C] — checkpoint-compatible)
@@ -245,6 +316,8 @@ class PReLU(nn.Module):
                 nn.initializers.constant(self.negative_slope_init),
                 (4 * x.shape[-1],),
             )
+            if return_slope:
+                return alpha
             a = alpha.astype(x.dtype).reshape(4, 1, 1, x.shape[-1])
             return jnp.where(x >= 0, x, a * x)
         alpha = self.param(
@@ -252,6 +325,8 @@ class PReLU(nn.Module):
             nn.initializers.constant(self.negative_slope_init),
             (x.shape[-1],),
         )
+        if return_slope:
+            return alpha
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 

@@ -55,29 +55,42 @@ class QCNNEncoder(nn.Module):
     ) -> jnp.ndarray:
         if x.ndim != 4:
             raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
-        # "stacked"/"fused" (and "auto", which resolves to the measured-best
-        # of the two — docs/performance.md) run the fat post-pool conv layers
-        # in the component-stacked F-major layout: one transpose in, one out,
-        # zero per-layer repacking. Thin layers keep the legacy per-layer
-        # routing (block below 128 q-channels).
-        # "auto" = measured-best full-step path on v5e: the XLA rank-8
-        # stacked chain (benchmarks/variants.py 2026-08-20: stacked8 1.61x
-        # vs real CNN, legacy fast10 routing 1.38x, Pallas fused8 1.42x)
+        # "stacked"/"fused"/"fusedchain" (and "auto", which resolves to the
+        # measured-best — docs/performance.md) run the fat post-pool conv
+        # layers in the component-stacked F-major layout: one transpose in,
+        # one out, zero per-layer repacking. Thin layers keep the legacy
+        # per-layer routing (block below 128 q-channels).
+        # "auto" = measured-best full-step path on v5e: the chain-resident
+        # fused rank-8 kernel when its constraints hold, else the XLA rank-8
+        # stacked chain (benchmarks/variants.py; docs/performance.md)
         chain_variant = {
             "auto": "stacked8",
             "stacked": "stacked",
             "stacked8": "stacked8",
             "fused": "fused",
             "fused8": "fused8",
+            "fusedchain": "stacked",     # non-chain fallback for these
+            "fusedchain8": "stacked8",
         }.get(self.variant)
+        want_fused_chain = self.variant in ("fusedchain", "fusedchain8")
         if self.use_pallas:
             # legacy knob selecting the im2col Pallas conv (QConv packed
             # path); honor it rather than silently rerouting those layers
             # into the stacked chain
             chain_variant = None
+            want_fused_chain = False
         in_stacked = False
-        for i, feats in enumerate(self.conv_features):
+        n_conv = len(self.conv_features)
+        i = 0
+        while i < n_conv:
+            feats = self.conv_features[i]
             cin = (x.shape[-1] if in_stacked else x.shape[-1] // 4)
+            if in_stacked and min(cin, feats) < 128:
+                # chain exit: a thin layer after fat ones leaves the stacked
+                # layout (per-product MXU lanes below 128 measured 0.64x the
+                # block path — docs/performance.md)
+                x = stacked_to_tf_packed(x)
+                in_stacked = False
             if (
                 chain_variant
                 and not in_stacked
@@ -85,6 +98,13 @@ class QCNNEncoder(nn.Module):
                 and len(self.kernel_size) == 2
                 and min(cin, feats) >= 128
             ):
+                if want_fused_chain:
+                    end = self._fused_chain_end(i, cin)
+                    if end - i >= 2:  # amortizes entry/exit over >= 2 layers
+                        x = self._fused_chain(x, i, end)
+                        i = end
+                        in_stacked = True
+                        continue
                 x = tf_packed_to_stacked(x)
                 in_stacked = True
             if in_stacked:
@@ -112,6 +132,7 @@ class QCNNEncoder(nn.Module):
                 )
             if self.conv_dropout:
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            i += 1
 
         if in_stacked:
             # fused exit: stacked [B,4,F,T,C] -> flattened packed
@@ -140,6 +161,60 @@ class QCNNEncoder(nn.Module):
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
         return logits.astype(jnp.float32)
+
+    # -- chain-resident fused conv (variant="fusedchain{,8}") ----------------
+
+    def _fused_chain_end(self, start: int, cin: int) -> int:
+        """Largest ``end`` such that layers [start, end) can run in the
+        chain-resident kernel (qconv_chain.supported for every link, no
+        dropout between convs, bf16 compute)."""
+        from qasr.ops.pallas import qconv_chain
+
+        if self.conv_dropout or self.dtype != jnp.bfloat16:
+            return start
+        end = start
+        c = cin
+        while end < len(self.conv_features):
+            feats = self.conv_features[end]
+            if not qconv_chain.supported(
+                c, feats, self.kernel_size, "SAME", None, dtype=self.dtype
+            ):
+                break
+            c = feats
+            end += 1
+        return end
+
+    def _fused_chain(self, x: jnp.ndarray, start: int, end: int) -> jnp.ndarray:
+        """Run conv layers [start, end) chain-resident: pad once, per-layer
+        fused kernels passing PRE-activations (PReLU fused into the next
+        kernel's prologue), slice once, apply the last PReLU in XLA.
+
+        Param names/shapes match the per-layer path exactly (qconv_i /
+        conv_prelu_i), so checkpoints transfer between variants bit-for-bit.
+        Returns the post-activation STACKED tensor [B, 4, F, T, C].
+        """
+        from qasr.ops.pallas import qconv_chain
+
+        x_st = tf_packed_to_stacked(x)
+        _, _, f, t, _ = x_st.shape
+        kw = self.kernel_size[1]
+        xp = qconv_chain.chain_entry(x_st.astype(self.dtype), kw)
+        alpha_prev = None
+        for k in range(start, end):
+            xp = QConv(
+                features=self.conv_features[k],
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                variant=self.variant,
+                layout="padded_ft",
+                name=f"qconv_{k}",
+            )(xp, prologue_alpha=alpha_prev, t_valid=t)
+            if k < end - 1:
+                alpha_prev = PReLU(name=f"conv_prelu_{k}")(
+                    xp, return_slope=True
+                )
+        x_st = qconv_chain.chain_exit(xp, f, t, kw)
+        return PReLU(name=f"conv_prelu_{end - 1}")(x_st)
 
 
 class RealCNNEncoder(nn.Module):

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
 from qasr.ops.initializers import quaternion_initializer
-from qasr.ops.qlinalg import qdense
-from qasr.ops.quaternion import hamilton_expand
+from qasr.ops.qlinalg import qdense, qdense_fast8
+from qasr.ops.quaternion import O8, U8, V8, hamilton_expand
 
 
 def qchannel_split(x: jnp.ndarray, groups: int) -> tuple[jnp.ndarray, ...]:
@@ -87,6 +87,7 @@ class QLSTMLayer(nn.Module):
     hidden: int
     reverse: bool = False
     dtype: jnp.dtype | None = None
+    input_proj: str = "fast8"  # see QBiLSTM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -100,7 +101,8 @@ class QLSTMLayer(nn.Module):
         # all-timestep input projection: one MXU GEMM (outside the scan);
         # the recurrent weights expand ONCE here — never inside the scan
         # (XLA does not reliably hoist the expansion out of the loop body).
-        xz = qdense(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
+        in_proj = qdense_fast8 if self.input_proj == "fast8" else qdense
+        xz = in_proj(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
         wh_big = hamilton_expand(wh.astype(dtype))  # [4H, 16H]
 
         h0 = jnp.zeros((b, 4 * self.hidden), dtype)
@@ -138,6 +140,13 @@ class QBiLSTM(nn.Module):
 
     hidden: int
     dtype: jnp.dtype | None = None
+    # input (pre-scan) projection: "fast8" = rank-8 scheme (8/16 the MXU
+    # FLOPs of the expanded GEMM; the M = B*T row count fills the MXU, so
+    # the cut pays — measured, docs/performance.md); "block" = expanded GEMM
+    input_proj: str = "fast8"
+    # recurrent projection: "block" (default — M = 2B rows underfill the
+    # MXU, so fewer/bigger dispatches win; measured) | "fast8"
+    recurrent: str = "block"
 
     @nn.compact
     def __call__(self, x, lengths: jnp.ndarray | None = None):
@@ -150,7 +159,8 @@ class QBiLSTM(nn.Module):
 
         # both directions' input projections as ONE quaternion GEMM
         wx_cat = jnp.concatenate([wxf, wxb], axis=-1).astype(dtype)  # [4,cin,8H]
-        z = qdense(x.reshape(b * t, cin4), wx_cat)
+        in_proj = qdense_fast8 if self.input_proj == "fast8" else qdense
+        z = in_proj(x.reshape(b * t, cin4), wx_cat)
         zf, zb = qchannel_split(z, 2)  # each [B*T, 16H]
         zf = (zf + bf.astype(dtype)).reshape(b, t, -1)
         zb = (zb + bb.astype(dtype)).reshape(b, t, -1)
@@ -158,6 +168,16 @@ class QBiLSTM(nn.Module):
         wh_big = jnp.stack(
             [hamilton_expand(whf.astype(dtype)), hamilton_expand(whb.astype(dtype))]
         )  # [2, 4H, 16H]
+        if self.recurrent == "fast8":
+            # rank-8 recurrent path: per-direction U-combined weights
+            wc8 = jnp.stack(
+                [
+                    jnp.einsum("akn,pa->pkn", whf, jnp.asarray(U8, whf.dtype)),
+                    jnp.einsum("akn,pa->pkn", whb, jnp.asarray(U8, whb.dtype)),
+                ]
+            ).astype(dtype)  # [2, 8, H, 4H]
+            v8 = jnp.asarray(V8, dtype)
+            o8 = jnp.asarray(O8, jnp.float32)
 
         # xs: [T, 2, B, 16H]; backward stream time-flipped
         xs = jnp.stack(
@@ -170,11 +190,22 @@ class QBiLSTM(nn.Module):
         def step(carry, inp):
             h, c = carry
             xz_t, t_idx = inp
-            proj = jax.lax.dot_general(
-                h,
-                wh_big,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            ).astype(dtype)  # [2, B, 16H]
+            if self.recurrent == "fast8":
+                hs_ = h.reshape(2, b, 4, self.hidden)
+                hc = jnp.einsum("dbak,pa->dbpk", hs_, v8)
+                prods = jnp.einsum(
+                    "dbpk,dpkn->dbpn", hc, wc8,
+                    preferred_element_type=jnp.float32,
+                )
+                proj = jnp.einsum("dbpn,qp->dbqn", prods, o8).reshape(
+                    2, b, 16 * self.hidden
+                ).astype(dtype)
+            else:
+                proj = jax.lax.dot_general(
+                    h,
+                    wh_big,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                ).astype(dtype)  # [2, B, 16H]
             h_new, c_new = _gate_update(xz_t + proj, c)
             if lengths is not None:
                 # dir 0 walks t forward; dir 1 walks the flipped stream, so
@@ -207,6 +238,8 @@ class QLSTMEncoder(nn.Module):
     dropout_rate: float = 0.3
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
+    input_proj: str = "fast8"   # pre-scan gate projection: fast8 | block
+    recurrent: str = "block"    # in-scan hidden projection: block | fast8
 
     @nn.compact
     def __call__(
@@ -235,13 +268,20 @@ class QLSTMEncoder(nn.Module):
 
         for i in range(self.lstm_layers):
             if self.bidirectional:
-                x = QBiLSTM(self.lstm_features, dtype=self.dtype, name=f"qbilstm_{i}")(
-                    x, lengths
-                )
+                x = QBiLSTM(
+                    self.lstm_features,
+                    dtype=self.dtype,
+                    input_proj=self.input_proj,
+                    recurrent=self.recurrent,
+                    name=f"qbilstm_{i}",
+                )(x, lengths)
             else:
-                x = QLSTMLayer(self.lstm_features, dtype=self.dtype, name=f"qlstm_{i}")(
-                    x, lengths
-                )
+                x = QLSTMLayer(
+                    self.lstm_features,
+                    dtype=self.dtype,
+                    input_proj=self.input_proj,
+                    name=f"qlstm_{i}",
+                )(x, lengths)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         for i, feats in enumerate(self.dense_features):
@@ -250,5 +290,128 @@ class QLSTMEncoder(nn.Module):
             x = PReLU(name=f"dense_prelu_{i}")(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
+        logits = nn.Dense(self.vocab, dtype=self.dtype, name="output")(x)
+        return logits.astype(jnp.float32)
+
+
+class RealBiLSTM(nn.Module):
+    """Real-valued bidirectional LSTM with the SAME fused-scan structure as
+    QBiLSTM (one scan, direction axis 2, pre-scan input projection) so the
+    quaternion-vs-real comparison isolates the Hamilton-product arithmetic,
+    not the scan engineering. ``hidden`` counts REAL units."""
+
+    hidden: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, lengths: jnp.ndarray | None = None):
+        b, t, cin = x.shape
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        h4 = 4 * self.hidden
+        init = nn.initializers.glorot_uniform()
+        wx = self.param("wx", init, (2, cin, h4))
+        wh = self.param("wh", init, (2, self.hidden, h4))
+        bias = self.param("bias", nn.initializers.zeros, (2, h4))
+
+        # both directions' input projections as one GEMM
+        z = jax.lax.dot_general(
+            x.reshape(b * t, cin),
+            jnp.moveaxis(wx.astype(dtype), 0, 1).reshape(cin, 2 * h4),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(b, t, 2, h4)
+        z = z + bias.astype(dtype)
+        zf = z[:, :, 0]
+        zb = z[:, :, 1]
+
+        xs = jnp.stack(
+            [jnp.moveaxis(zf, 1, 0), jnp.moveaxis(zb, 1, 0)[::-1]], axis=1
+        )  # [T, 2, B, 4H]
+        h0 = jnp.zeros((2, b, self.hidden), dtype)
+        c0 = jnp.zeros((2, b, self.hidden), dtype)
+        t_iota = jnp.arange(t)
+        wh_d = wh.astype(dtype)
+
+        def step(carry, inp):
+            h, c = carry
+            xz_t, t_idx = inp
+            proj = jax.lax.dot_general(
+                h, wh_d, dimension_numbers=(((2,), (1,)), ((0,), (0,)))
+            ).astype(dtype)  # [2, B, 4H]
+            zt = xz_t + proj
+            i, f, o, g = jnp.split(zt, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            if lengths is not None:
+                active = jnp.stack(
+                    [t_idx < lengths, (t - 1 - t_idx) < lengths]
+                )[:, :, None]
+                h_new = jnp.where(active, h_new, h)
+                c_new = jnp.where(active, c_new, c)
+            return (h_new, c_new), h_new
+
+        (_, _), hs = jax.lax.scan(step, (h0, c0), (xs, t_iota), unroll=4)
+        fwd = jnp.moveaxis(hs[:, 0], 0, 1)
+        bwd = jnp.moveaxis(hs[::-1, 1], 0, 1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class RealLSTMEncoder(nn.Module):
+    """Real-valued CNN-LSTM at equal real width (4x the quaternion feature
+    counts) — the ablation arm for BASELINE config 4, mirroring
+    RealCNNEncoder's role for the conv models: identical topology and scan
+    structure, ordinary real arithmetic, 4x the parameters."""
+
+    conv_features: Sequence[int] = (64, 64, 128, 128)
+    dense_features: Sequence[int] = (256,)
+    lstm_features: int = 256       # quaternion channels; real width = 4x
+    lstm_layers: int = 3
+    bidirectional: bool = True
+    vocab: int = 32
+    kernel_size: tuple[int, int] = (3, 3)
+    pool_after: int = 1
+    pool_size: int = 3
+    dropout_rate: float = 0.3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = False,
+        lengths: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        if x.ndim != 4:
+            raise ValueError(f"expected [B, T, F, C] input, got {x.shape}")
+        for i, feats in enumerate(self.conv_features):
+            x = nn.Conv(
+                features=4 * feats,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = PReLU(name=f"conv_prelu_{i}")(x)
+            if i + 1 == self.pool_after:
+                x = nn.max_pool(
+                    x, window_shape=(1, self.pool_size), strides=(1, self.pool_size)
+                )
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b, t, -1)
+
+        for i in range(self.lstm_layers):
+            if self.bidirectional:
+                x = RealBiLSTM(
+                    4 * self.lstm_features, dtype=self.dtype, name=f"bilstm_{i}"
+                )(x, lengths)
+            else:
+                raise NotImplementedError("real ablation is bidirectional-only")
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+
+        for i, feats in enumerate(self.dense_features):
+            x = nn.Dense(4 * feats, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = PReLU(name=f"dense_prelu_{i}")(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(self.vocab, dtype=self.dtype, name="output")(x)
         return logits.astype(jnp.float32)

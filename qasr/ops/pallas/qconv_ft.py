@@ -302,8 +302,14 @@ def _prep_input(x_st, kh, kw):
     )
 
 
-def supported(cin: int, cout: int, kernel_size, padding, strides) -> bool:
-    """Whether the fused F-major kernel handles this conv configuration."""
+def supported(cin: int, cout: int, kernel_size, padding, strides, dtype=None) -> bool:
+    """Whether the fused F-major kernel handles this conv configuration.
+
+    ``dtype`` (when given) must be bfloat16: f32 inputs hit a multi-minute
+    Mosaic compile blowup on the real TPU, so callers should route non-bf16
+    through the XLA stacked path instead. None skips the check (interpret-
+    mode tests run the kernel in f32 deliberately).
+    """
     kh, kw = kernel_size
     return (
         padding == "SAME"
@@ -312,6 +318,7 @@ def supported(cin: int, cout: int, kernel_size, padding, strides) -> bool:
         and kw % 2 == 1
         and cin % 128 == 0
         and cout % 128 == 0
+        and (dtype is None or jnp.dtype(dtype) == jnp.bfloat16)
     )
 
 

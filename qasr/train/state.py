@@ -68,6 +68,13 @@ def build_model(cfg: Config) -> nn.Module:
     if m.arch == "qlstm":
         from qasr.models.qlstm import QLSTMEncoder
 
+        # op_variant for the qlstm arch selects the gate-projection paths:
+        #   auto/fast8 -> rank-8 pre-scan input GEMM, block recurrent
+        #                 (the measured-best split; docs/performance.md)
+        #   block      -> expanded block GEMM everywhere (reference strategy)
+        #   fast8_recurrent -> rank-8 for the in-scan hidden GEMM too (A/B)
+        input_proj = "block" if m.op_variant == "block" else "fast8"
+        recurrent = "fast8" if m.op_variant == "fast8_recurrent" else "block"
         return QLSTMEncoder(
             conv_features=tuple(m.conv_features),
             dense_features=tuple(m.dense_features),
@@ -80,6 +87,23 @@ def build_model(cfg: Config) -> nn.Module:
             dropout_rate=m.dropout_rate,
             dtype=dtype,
             use_pallas=m.use_pallas,
+            input_proj=input_proj,
+            recurrent=recurrent,
+        )
+    if m.arch == "real_lstm":
+        from qasr.models.qlstm import RealLSTMEncoder
+
+        return RealLSTMEncoder(
+            conv_features=tuple(m.conv_features),
+            dense_features=tuple(m.dense_features),
+            lstm_features=m.lstm_features,
+            lstm_layers=m.lstm_layers,
+            bidirectional=m.bidirectional,
+            vocab=m.vocab,
+            pool_after=m.pool_after,
+            pool_size=m.pool_size,
+            dropout_rate=m.dropout_rate,
+            dtype=dtype,
         )
     raise ValueError(f"unknown arch {m.arch!r}")
 
