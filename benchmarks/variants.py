@@ -62,6 +62,9 @@ def main():
         "fast10": {"model.op_variant": "fast10"},
         "dense_fast": {"model.dense_variant": "fast"},  # conv stays auto
         "dense_fast8": {"model.dense_variant": "fast8"},  # rank-8 dense, conv auto
+        # first dense consumes the stacked conv output (no exit transpose),
+        # rank-8 at K = F*C; remaining dense layers stay on the block GEMM
+        "dense_fast8_st": {"model.dense_variant": "fast8_stacked"},
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
         # config-4 (qlstm preset) arms: equal-real-width LSTM ablation and

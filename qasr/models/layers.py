@@ -245,17 +245,45 @@ class QConv(nn.Module):
 
 
 class QDense(nn.Module):
-    """Quaternion dense layer (SURVEY.md C2)."""
+    """Quaternion dense layer (SURVEY.md C2).
+
+    ``layout="stacked_entry"`` consumes the conv chain's component-stacked
+    ``[B, 4, F, T, C]`` output directly (rank-8 scheme, K = F*C) and returns
+    packed ``[B, T, 4*features]`` — the conv-stack exit transpose vanishes.
+    Params are byte-identical to the packed path.
+    """
 
     features: int  # quaternion output units
     use_bias: bool = True
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
-    variant: str = "auto"  # auto | block | fast | pallas
+    variant: str = "auto"  # auto | block | fast | fast8 | pallas
+    layout: str = "packed"  # packed | stacked_entry
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.layout == "stacked_entry":
+            from qasr.ops.qlinalg import qdense_fast8_from_stacked
+
+            if x.ndim != 5 or x.shape[1] != 4:
+                raise ValueError(
+                    f"stacked_entry expects [B, 4, F, T, C], got {x.shape}"
+                )
+            k = x.shape[2] * x.shape[4]
+            kernel = self.param(
+                "kernel",
+                quaternion_initializer(self.criterion),
+                (4, k, self.features),
+            )
+            dtype = self.dtype or x.dtype
+            y = qdense_fast8_from_stacked(x.astype(dtype), kernel.astype(dtype))
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (4 * self.features,)
+                )
+                y = y + bias.astype(dtype)
+            return y
         cin4 = x.shape[-1]
         if cin4 % 4:
             raise ValueError(f"input channels {cin4} not divisible by 4")

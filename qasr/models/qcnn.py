@@ -134,7 +134,21 @@ class QCNNEncoder(nn.Module):
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
             i += 1
 
-        if in_stacked:
+        dense_start = 0
+        if in_stacked and self.dense_variant == "fast8_stacked" and self.dense_features:
+            # stacked-entry dense: the first dense layer consumes the
+            # stacked conv output directly (rank-8, K = F*C) — no conv-exit
+            # transpose at all; its output is already packed
+            x = QDense(
+                features=self.dense_features[0],
+                dtype=self.dtype,
+                layout="stacked_entry",
+                name="qdense_0",
+            )(x)
+            x = PReLU(name="dense_prelu_0")(x)
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+            dense_start = 1
+        elif in_stacked:
             # fused exit: stacked [B,4,F,T,C] -> flattened packed
             # [B,T,4*(F*C)] in ONE transpose (equivalent to
             # flatten_quaternion(stacked_to_tf_packed(x)) which would pay two)
@@ -143,12 +157,14 @@ class QCNNEncoder(nn.Module):
         else:
             # fold (F, 4C) -> packed 4*(F*C) keeping component-major layout
             x = flatten_quaternion(x)
-        for i, feats in enumerate(self.dense_features):
+        for i in range(dense_start, len(self.dense_features)):
+            feats = self.dense_features[i]
             x = QDense(
                 features=feats,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
-                variant=self.dense_variant,
+                variant="auto" if self.dense_variant == "fast8_stacked"
+                else self.dense_variant,
                 name=f"qdense_{i}",
             )(x)
             x = PReLU(name=f"dense_prelu_{i}")(x)

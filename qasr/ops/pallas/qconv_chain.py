@@ -136,16 +136,17 @@ def _fwd_kernel(
 ):
     j = pl.program_id(0)
     b = pl.program_id(1)
-    ig = pl.program_id(2)          # extended time grid: 0..ni+1
+    ig = pl.program_id(2)          # extended time grid: 0..ni+2*mb-1
     nj = pl.num_programs(0)
     nb = pl.num_programs(1)
-    ni = pl.num_programs(2) - 2    # compute tiles
 
     fp = xbuf.shape[2]
     cq = xbuf.shape[4]
     tn = wbuf.shape[3]
     n_prods = len(in_terms)
-    tt = _TT
+    tt = z_ref.shape[3]            # time tile (block T size; divides _TT)
+    mb = _TT // tt                 # margin blocks per side
+    ni = pl.num_programs(2) - 2 * mb
     pw = (kw - 1) // 2
     ph = (kh - 1) // 2
     m = f_out * tt
@@ -155,9 +156,9 @@ def _fwd_kernel(
         for bo, coef in out_terms[p]:
             out_coefs[bo][p] = coef
 
-    li = (j * nb + b) * (ni + 2) + ig
-    is_compute = (ig >= 1) & (ig <= ni)
-    ci = ig - 1                            # compute tile index
+    li = (j * nb + b) * (ni + 2 * mb) + ig
+    is_compute = (ig >= mb) & (ig < mb + ni)
+    ci = ig - mb                           # compute tile index
     lc = (j * nb + b) * ni + ci            # linear compute index
     total_c = nj * nb * ni
     slot = lax.rem(lc, 2)
@@ -254,7 +255,7 @@ def _dx_kernel(
     dzp_hbm,    # [B, 4, Fp, TB, N] HBM (ANY): cotangent of this layer's z
     wc_hbm,     # [P, S, N, C] HBM (ANY): flip-transposed U-combined weights
     zin_ref,    # [1, 4, Fp, TT, TN] VMEM block: the saved INPUT z tile
-    alpha_ref,  # [4, C] VMEM (full): PReLU slopes gating the input
+    alpha_ref,  # [4, TN] VMEM block (Cin tile j): PReLU slopes gating input
     dx_ref,     # out: [1, 4, Fp, TT, TN] VMEM block
     dalpha_ref, # out: [4, TN] f32 block (accumulated over b, i)
     xbuf,       # scratch [2, 4, Fp, TT + 2*HALO, N]
@@ -275,13 +276,14 @@ def _dx_kernel(
     ig = pl.program_id(2)
     nj = pl.num_programs(0)
     nb = pl.num_programs(1)
-    ni = pl.num_programs(2) - 2
 
     fp = xbuf.shape[2]
     cq = xbuf.shape[4]
     tn = wbuf.shape[3]
     n_prods = len(in_terms)
-    tt = _TT
+    tt = dx_ref.shape[3]           # dx runs a half-size time tile (VMEM)
+    mb = _TT // tt
+    ni = pl.num_programs(2) - 2 * mb
     pw = (kw - 1) // 2
     ph = (kh - 1) // 2
     m = f_out * tt
@@ -291,9 +293,9 @@ def _dx_kernel(
         for bo, coef in out_terms[p]:
             out_coefs[bo][p] = coef
 
-    li = (j * nb + b) * (ni + 2) + ig
-    is_compute = (ig >= 1) & (ig <= ni)
-    ci = ig - 1
+    li = (j * nb + b) * (ni + 2 * mb) + ig
+    is_compute = (ig >= mb) & (ig < mb + ni)
+    ci = ig - mb
     lc = (j * nb + b) * ni + ci
     total_c = nj * nb * ni
     slot = lax.rem(lc, 2)
@@ -409,12 +411,13 @@ def _common_cost(n_prods, s, bsz, t_pad, f_out, cq, n, nj):
 # argnums in one process (observed under interpret mode, round 4). These are
 # always called inside the train step's outer jit, so nothing is lost.
 def _fwd_call(xp, wc, bias2, alpha2, *, kh, kw, f_out, t_valid,
-              in_terms, out_terms, prologue):
+              in_terms, out_terms, prologue, tt=_TT):
     bsz, _, fp, tb, cq = xp.shape
     t_pad = tb - 2 * _TT
     n_prods, s, _, n = wc.shape
-    ni = t_pad // _TT
-    grid = (n // _TN, bsz, ni + 2)
+    ni = t_pad // tt
+    mb = _TT // tt
+    grid = (n // _TN, bsz, ni + 2 * mb)
     kernel = functools.partial(
         _fwd_kernel,
         kh=kh, kw=kw, f_out=f_out, t_valid=t_valid,
@@ -430,11 +433,11 @@ def _fwd_call(xp, wc, bias2, alpha2, *, kh, kw, f_out, t_valid,
             pl.BlockSpec((4, cq), lambda j, b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, fp, _TT, _TN), lambda j, b, i: (b, 0, 0, i, j)
+            (1, 4, fp, tt, _TN), lambda j, b, i: (b, 0, 0, i, j)
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 4, fp, tb, n), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, fp, _TT + 2 * _HALO, cq), xp.dtype),
+            pltpu.VMEM((2, 4, fp, tt + 2 * _HALO, cq), xp.dtype),
             pltpu.VMEM((n_prods, s, cq, _TN), wc.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -448,12 +451,18 @@ def _fwd_call(xp, wc, bias2, alpha2, *, kh, kw, f_out, t_valid,
 
 
 def _dx_call(dzp, wc, zin, alpha2, *, kh, kw, f_out, t_valid,
-             in_terms, out_terms, prologue):
+             in_terms, out_terms, prologue, tt=_TT // 2):
+    # dx defaults to a half-size time tile: it carries one more pipelined
+    # stream (the saved z tiles for the fused PReLU backward) than the fwd
+    # kernel, and the full-TT variant measures 744 KB over the 16 MB VMEM
+    # budget at flagship shapes. dx stays compute-bound, so the extra halo
+    # re-reads hide under the dots.
     bsz, _, fp, tb, n = dzp.shape
     t_pad = tb - 2 * _TT
     n_prods, s, _, cq = wc.shape
-    ni = t_pad // _TT
-    grid = (cq // _TN, bsz, ni + 2)
+    ni = t_pad // tt
+    mb = _TT // tt
+    grid = (cq // _TN, bsz, ni + 2 * mb)
     kernel = functools.partial(
         _dx_kernel,
         kh=kh, kw=kw, f_out=f_out, t_valid=t_valid,
@@ -465,11 +474,11 @@ def _dx_call(dzp, wc, zin, alpha2, *, kh, kw, f_out, t_valid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec((1, 4, fp, _TT, _TN), lambda j, b, i: (b, 0, 0, i, j)),
-            pl.BlockSpec((4, cq), lambda j, b, i: (0, 0)),
+            pl.BlockSpec((1, 4, fp, tt, _TN), lambda j, b, i: (b, 0, 0, i, j)),
+            pl.BlockSpec((4, _TN), lambda j, b, i: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 4, fp, _TT, _TN), lambda j, b, i: (b, 0, 0, i, j)),
+            pl.BlockSpec((1, 4, fp, tt, _TN), lambda j, b, i: (b, 0, 0, i, j)),
             pl.BlockSpec((4, _TN), lambda j, b, i: (0, j)),
         ],
         out_shape=[
@@ -477,7 +486,7 @@ def _dx_call(dzp, wc, zin, alpha2, *, kh, kw, f_out, t_valid,
             jax.ShapeDtypeStruct((4, cq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, fp, _TT + 2 * _HALO, n), dzp.dtype),
+            pltpu.VMEM((2, 4, fp, tt + 2 * _HALO, n), dzp.dtype),
             pltpu.VMEM((n_prods, s, n, _TN), wc.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

@@ -309,3 +309,53 @@ def qconv_expanded_oracle(x, w, *, strides=None, padding="SAME"):
         x, w_big, tuple(strides), padding, dimension_numbers=dn,
         precision=lax.Precision.HIGHEST,
     )
+
+
+def qdense_fast8_from_stacked(
+    x_st: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Rank-8 quaternion dense consuming the conv chain's STACKED output.
+
+    ``x_st``: ``[B, 4, F, T, C]`` component-stacked F-major (the conv-chain
+    steady state); ``w``: ``[4, F*C, N]`` with K ordered (F-major, C-minor)
+    — byte-identical to the packed path's first-dense kernel, because
+    ``flatten_quaternion`` maps (f, c) -> f*C + c. Returns packed
+    ``[B, T, 4*N]`` (component-major), which is a FREE reshape from the
+    ``[B, T, 4, N]`` einsum output.
+
+    Why: the packed path pays a real HBM transpose at conv-stack exit
+    ([B,4,F,T,C] -> [B,T,4FC]) before the first dense GEMM. Here the
+    component combos index the leading dim (no repacking), the (F, C)
+    contraction runs directly on the F-major layout, and the exit transpose
+    disappears — while the largest-K dense GEMM in the model takes the
+    rank-8 8/16 FLOP cut. dx lands back in the stacked layout with no
+    transposes either (autodiff of the same einsums).
+    """
+    if w.ndim != 3 or w.shape[0] != 4:
+        raise ValueError(f"dense weights must be [4, K, N], got {w.shape}")
+    b, four, f, t, c = x_st.shape
+    if four != 4 or w.shape[1] != f * c:
+        raise ValueError(
+            f"stacked dense expects [B,4,F,T,C] with F*C == K; got {x_st.shape}"
+            f" vs K={w.shape[1]}"
+        )
+    n = w.shape[2]
+    # input combos on the leading component dim; output layout puts (f, c)
+    # adjacent so the K merge is free
+    xc = jnp.einsum(
+        "baftc,pa->bptfc", x_st, jnp.asarray(V8, x_st.dtype)
+    ).reshape(b, 8, t, f * c)
+    wc = jnp.einsum("akn,pa->pkn", w, jnp.asarray(U8, w.dtype))  # [8, K, N]
+    prods = jnp.einsum(
+        "bptk,pkn->bptn",
+        xc,
+        wc.astype(x_st.dtype),
+        precision=precision,
+        preferred_element_type=accum_dtype,
+    )
+    ys = jnp.einsum("bptn,qp->btqn", prods, jnp.asarray(O8, accum_dtype))
+    return ys.reshape(b, t, 4 * n).astype(x_st.dtype)

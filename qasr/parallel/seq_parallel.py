@@ -36,18 +36,31 @@ def qconv2d_seq_parallel(
     mesh: Mesh,
     *,
     axis: str = "data",
+    variant: str = "auto",
 ) -> jnp.ndarray:
     """Quaternion conv2d with the time axis sharded over `axis`.
 
     x: ``[B, T, F, 4*Cin]`` (T divisible by the axis size); w: ``[4, kh, kw,
     Cin, Cout]``; SAME padding, stride 1. Returns ``[B, T, F, 4*Cout]`` with
     the same sharding.
+
+    ``variant``: "auto" routes each shard's local conv like the single-device
+    path — the rank-8 stacked scheme (8/16 the block path's MXU FLOPs) at
+    >= 128 quaternion channels, the block conv below (where per-product MXU
+    lanes underfill; docs/performance.md) — so long-utterance time-sharding
+    composes with the production compute scheme instead of paying the
+    16-product expansion. "block"/"fast8" force a path. (The fast8 local
+    conv uses asymmetric-padding autodiff, not the rotated-role custom VJP,
+    which requires plain SAME; grads are parity-tested either way.)
     """
     kh = w.shape[1]
     if kh % 2 == 0:
         raise ValueError("sequence-parallel conv requires an odd time kernel")
     hh = (kh - 1) // 2
     n = mesh.shape[axis]
+    cin, cout = w.shape[-2], w.shape[-1]
+    if variant == "auto":
+        variant = "fast8" if min(cin, cout) >= 128 else "block"
 
     @functools.partial(
         shard_map,
@@ -75,12 +88,26 @@ def qconv2d_seq_parallel(
         # SAME in frequency.
         pw = (w_full.shape[2] - 1) // 2
         pw2 = w_full.shape[2] - 1 - pw
-        y = qconv(
+        if variant == "fast8":
+            from qasr.ops.pallas.qconv_ft import (
+                SCHEME8,
+                _qconv_stacked_xla,
+                pack_to_stacked,
+                stacked_to_pack,
+            )
+
+            # stacked F-major local conv: spatial dims are (F, T), so SAME
+            # on F and VALID on the halo-extended T
+            x_st = pack_to_stacked(jnp.swapaxes(x_ext, 1, 2))
+            y_st = _qconv_stacked_xla(
+                x_st, w_full, SCHEME8, padding=((pw, pw2), (0, 0))
+            )
+            return jnp.swapaxes(stacked_to_pack(y_st), 1, 2)
+        return qconv(
             x_ext,
             w_full,
             padding=((0, 0), (pw, pw2)),
         )
-        return y
 
     return _fn(x, w)
 

@@ -232,3 +232,69 @@ class TestStackedVariants:
         # every conv layer receives gradient
         assert float(jnp.linalg.norm(g["qconv_1"]["kernel"])) > 0
         assert float(jnp.linalg.norm(g["qconv_2"]["kernel"])) > 0
+
+
+class TestStackedEntryDense:
+    """dense_variant="fast8_stacked": the first dense consumes the stacked
+    conv output directly. Same params, same numbers as the packed path."""
+
+    def test_op_matches_packed_dense(self):
+        from qasr.ops.qlinalg import qdense, qdense_fast8_from_stacked
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        b, f, t, c, n = 2, 3, 5, 7, 6
+        x_st = jax.random.normal(kx, (b, 4, f, t, c))
+        w = jax.random.normal(kw, (4, f * c, n))
+        got = qdense_fast8_from_stacked(x_st, w)
+        # packed reference: the model's fused exit transpose + block dense
+        x_packed = x_st.transpose(0, 3, 1, 2, 4).reshape(b, t, 4 * f * c)
+        want = qdense(x_packed, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_model_matches_default_with_shared_params(self):
+        from qasr.models.qcnn import QCNNEncoder
+
+        def build(dense_variant):
+            return QCNNEncoder(
+                variant="stacked8",
+                conv_features=(8, 128, 128),
+                dense_features=(16, 16),
+                vocab=12,
+                pool_after=1,
+                dense_variant=dense_variant,
+            )
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 40, 4))
+        m0 = build("auto")
+        p = m0.init(jax.random.PRNGKey(1), x, train=False)["params"]
+        y0 = np.asarray(m0.apply({"params": p}, x, train=False))
+        m1 = build("fast8_stacked")
+        p1 = m1.init(jax.random.PRNGKey(1), x, train=False)["params"]
+        assert jax.tree_util.tree_map(lambda a: a.shape, p1) == \
+            jax.tree_util.tree_map(lambda a: a.shape, p)
+        y1 = np.asarray(m1.apply({"params": p}, x, train=False))
+        np.testing.assert_allclose(y1, y0, rtol=2e-4, atol=2e-4)
+
+    def test_grads_flow_through_stacked_entry(self):
+        from qasr.models.qcnn import QCNNEncoder
+
+        m = QCNNEncoder(
+            variant="stacked8",
+            conv_features=(8, 128),
+            dense_features=(16,),
+            vocab=12,
+            pool_after=1,
+            dense_variant="fast8_stacked",
+        )
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 40, 4))
+        p = m.init(jax.random.PRNGKey(1), x, train=False)["params"]
+        g = jax.grad(
+            lambda p_: float(0) + jnp.sum(
+                m.apply({"params": p_}, x, train=False) ** 2
+            )
+        )(p)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert float(jnp.linalg.norm(g["qdense_0"]["kernel"])) > 0

@@ -134,6 +134,34 @@ class TestChainLayer:
                 got, want, rtol=2e-3, atol=2e-3, err_msg=f"grad {name}"
             )
 
+    def test_wide_channel_grads(self):
+        """C=256 (two channel tiles): the dx kernel's alpha/z tiling along
+        the Cin grid axis must line up (a full-width alpha broke here)."""
+        keys = jax.random.split(jax.random.PRNGKey(21), 4)
+        t, c = 32, 256
+        x = _rand(keys[0], (1, 4, 3, t, c), 0.5)
+        w = _rand(keys[1], (4, 3, 3, c, c), 0.05)
+        b1 = _rand(keys[2], (4 * c,), 0.1)
+        a1 = _rand(keys[3], (4 * c,), 0.25)
+
+        def loss_chain(x, w, b1, a1):
+            xp = qconv_chain.chain_entry(x, 3)
+            z = qconv_chain.chain_layer(xp, w, b1, a1, t_valid=t)
+            out = qconv_chain.chain_exit(z, 3, t, 3)
+            return jnp.sum(out**2)
+
+        def loss_ref(x, w, b1, a1):
+            z = _ref_layer(_prelu(x, a1), w, b1, None, "fast8")
+            return jnp.sum(z**2)
+
+        args = (x, w, b1, a1)
+        g1 = jax.grad(loss_chain, argnums=(0, 1, 2, 3))(*args)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+        for got, want, name in zip(g1, g2, ["x", "w", "b", "a"]):
+            np.testing.assert_allclose(
+                got, want, rtol=2e-3, atol=2e-3, err_msg=f"grad {name}"
+            )
+
     def test_chain_layer_is_bf16_safe(self):
         """bf16 in/out parity at moderate scale (the production dtype)."""
         kx, kw_, kb = jax.random.split(jax.random.PRNGKey(9), 3)

@@ -213,6 +213,58 @@ class TestSeqParallelConv:
                 jnp.ones((1, 8, 4, 4)), jnp.ones((4, 2, 3, 1, 1)), mesh
             )
 
+    def test_fast8_variant_matches_global_conv(self):
+        """The production rank-8 stacked scheme must compose with the halo
+        exchange (value AND grads): long-utterance time-sharding should not
+        pay the 16-product block expansion (round-3 weak #4)."""
+        from qasr.ops.qlinalg import qconv
+        from qasr.parallel.seq_parallel import qconv2d_seq_parallel
+
+        mesh = make_mesh(4, 2)
+        kx, kw = jax.random.split(jax.random.PRNGKey(5))
+        x = jax.random.normal(kx, (2, 32, 7, 4 * 3))
+        w = jax.random.normal(kw, (4, 3, 3, 3, 5)) * 0.3
+        got = qconv2d_seq_parallel(x, w, mesh, axis="data", variant="fast8")
+        want = qconv(x, w, padding="SAME")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+        g1 = jax.grad(
+            lambda w_: jnp.sum(
+                qconv2d_seq_parallel(x, w_, mesh, axis="data", variant="fast8")
+                ** 2
+            )
+        )(w)
+        g2 = jax.grad(lambda w_: jnp.sum(qconv(x, w_) ** 2))(w)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3
+        )
+
+    def test_auto_routes_fast8_at_fat_widths(self):
+        from qasr.parallel import seq_parallel
+
+        mesh = make_mesh(2, 4)
+        kx, kw = jax.random.split(jax.random.PRNGKey(6))
+        x = jax.random.normal(kx, (1, 16, 5, 4 * 128), jnp.float32)
+        w = jax.random.normal(kw, (4, 3, 3, 128, 128)) * 0.05
+        called = {}
+        real = seq_parallel.qconv
+
+        def spy_block(*a, **k):
+            called["block"] = True
+            return real(*a, **k)
+
+        seq_parallel.qconv = spy_block
+        try:
+            got = seq_parallel.qconv2d_seq_parallel(x, w, mesh, axis="data")
+        finally:
+            seq_parallel.qconv = real
+        assert "block" not in called, "auto at C=128 must take the fast8 path"
+        want = real(x, w, padding="SAME")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
+
 
 class TestSeqParallelCTC:
     """Chunked-scan CTC with time-sharded logits vs the unsharded loss."""
