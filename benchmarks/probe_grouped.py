@@ -146,7 +146,11 @@ def main():
         def chain(x_, w_, n):
             def body(_, carry):
                 s, xx = carry
-                return s + step(xx, w_) * 1e-9, xx
+                s = s + step(xx, w_) * 1e-9
+                # feed the scalar back into the carried tensor: without this
+                # the loop body is loop-invariant and XLA hoists it (the
+                # difference quotient then measures nothing)
+                return s, xx * (1.0 + s * 1e-30).astype(xx.dtype)
 
             s, _ = lax.fori_loop(0, n, body, (jnp.float32(0), x_))
             return s
