@@ -50,6 +50,7 @@ def main():
         "auto": {},  # stacked F-major chain for fat layers (see layers.py)
         "stacked": {"model.op_variant": "stacked"},  # XLA 10-product stacked
         "stacked8": {"model.op_variant": "stacked8"},  # XLA rank-8 stacked
+        "stacked8g": {"model.op_variant": "stacked8g"},  # rank-8, one grouped conv
         "fused": {"model.op_variant": "fused"},      # Pallas qconv_ft chain
         "fused8": {"model.op_variant": "fused8"},    # Pallas rank-8 chain
         # chain-resident Pallas kernel: pad once, bias+PReLU fused, margins

@@ -105,8 +105,8 @@ class QConv(nn.Module):
         x = x.astype(dtype)
         impl = self.variant
         if impl in (
-            "stacked", "fused", "stacked8", "fused8", "legacy_auto",
-            "fusedchain", "fusedchain8",
+            "stacked", "fused", "stacked8", "stacked8g", "fused8",
+            "legacy_auto", "fusedchain", "fusedchain8",
         ):
             # stacked-chain variants reaching the packed path (e.g. a thin
             # layer the encoder kept packed), and the pre-stacked routing
@@ -118,7 +118,12 @@ class QConv(nn.Module):
             # conv whose MXU output width is `features` (fwd/dW) and `cin`
             # (dx) — not 4x like the block path — so lanes only fill at
             # >= 128 quaternion channels; there it wins ~1.3x the full
-            # fwd+bwd step. Below that the one-big-conv block path wins.
+            # fwd+bwd step. Below that the one-big-conv block path wins —
+            # and stays winning: round 4 measured the full formulation space
+            # at C=64 (8 separate convs, feature-grouped, batch-grouped;
+            # benchmarks/probe_grouped.py) at 0.32-0.34x the block path,
+            # so the gate is a hardware fact, not a missing optimization
+            # (docs/performance.md).
             impl = "fast10" if min(cin, self.features) >= 128 else "block"
         # Pallas conv pays off once the im2col contraction dim (cin*kh*kw)
         # approaches an MXU tile; below that (e.g. the 1-quaternion-channel
@@ -184,11 +189,14 @@ class QConv(nn.Module):
             )
             y = fn(x, kernel.astype(dtype))
         else:
-            fn = (
-                qconv_ft.qconv_fast8_stacked
-                if rank8
-                else qconv_ft.qconv_fast10_stacked
-            )
+            if self.variant == "stacked8g":
+                # rank-8 as ONE feature-grouped conv dispatch (round 4:
+                # measured faster than 8 separate convs at C >= 256)
+                fn = qconv_ft.qconv_fast8_grouped
+            elif rank8:
+                fn = qconv_ft.qconv_fast8_stacked
+            else:
+                fn = qconv_ft.qconv_fast10_stacked
             y = fn(x, kernel.astype(dtype), padding=self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (4 * self.features,))
@@ -296,14 +304,18 @@ class QDense(nn.Module):
         x = x.astype(dtype)
         impl = self.variant
         if impl == "auto":
-            # "block" wins the full train step on v5e: the Pallas 10-product
-            # qgemm is faster in isolation at K <= 512, but its packed<->
-            # stacked activation transposes on the dx path cost more than the
-            # FLOP cut saves once the layer sits inside a real model
-            # (benchmarks/variants.py A/B on the QCNN-256 flagship:
-            # dense_variant=fast 119.6 ms/step vs block 117.1; round-1
-            # pallas-dense 11.75 ms vs block 11.26 on the small stack).
-            # Route explicitly via variant="pallas"/"fast" to force a path.
+            # "block" wins the full train step on v5e, measured against every
+            # alternative across rounds 1-4 (benchmarks/variants.py on the
+            # QCNN-256 flagship): rank-8 packed dense (fast8) 95.6 ms/step
+            # vs block 94.8 (round 3 — combo materialization eats the FLOP
+            # cut); rank-8 STACKED-ENTRY dense consuming the conv chain's
+            # layout directly (fast8_stacked, no exit transpose) 95.7 vs
+            # 94.4 (round 4 — the packed->[...,4,K] reshape was already
+            # free, so the combo traffic still dominates); 10-product
+            # "fast" 119.6 vs 117.1 and the Pallas qgemm dense (round 1)
+            # lose on dx-path transposes. Route explicitly via variant=
+            # "fast8"/"fast"/"pallas" or dense_variant="fast8_stacked" to
+            # force a path; docs/performance.md has the tables.
             impl = "block"
         if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))

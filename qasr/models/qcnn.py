@@ -67,6 +67,7 @@ class QCNNEncoder(nn.Module):
             "auto": "stacked8",
             "stacked": "stacked",
             "stacked8": "stacked8",
+            "stacked8g": "stacked8g",    # grouped single-dispatch rank-8
             "fused": "fused",
             "fused8": "fused8",
             "fusedchain": "stacked",     # non-chain fallback for these

@@ -556,3 +556,118 @@ def qconv2d_ft(x_ft: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     `qconv2d_ft_stacked` instead and convert once per conv stack.
     """
     return stacked_to_pack(qconv2d_ft_stacked(pack_to_stacked(x_ft), w))
+
+
+# ---------------------------------------------------------------------------
+# Round-4: single-dispatch grouped formulation of the reduced-product conv.
+# The 8 product convs of the stacked scheme become ONE XLA conv with
+# feature_group_count=P (input combos packed to [B, F, T, P*Cin] lanes,
+# weights [kw, kh, Cin, P*Cout]); measured 1.4x the 8-dispatch form at
+# C=256 fwd+bwd in benchmarks/probe_grouped.py — one conv call amortizes
+# XLA's per-conv emitter overhead while every group keeps full 128-lane
+# output tiles. Below 128 channels grouping does NOT help (same probe, 0.33x
+# block at C=64) — the >=128 entry gate is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _qconv_stacked_grouped_xla(x_st, w, scheme: _Scheme, padding="SAME"):
+    """Grouped-conv formulation on the stacked F-major layout.
+
+    x_st: [B, 4, F, T, Cin]; w: [4, kh, kw, Cin, Cout] -> [B, 4, F, T, Cout].
+    """
+    b, _, f, t, cin = x_st.shape
+    _, kh, kw, _, cout = w.shape
+    p = scheme.n_prods
+    wc = jnp.einsum(
+        "a...kn,pa->p...kn",
+        jnp.swapaxes(w, 1, 2),
+        jnp.asarray(scheme.u, w.dtype),
+    ).astype(x_st.dtype)  # [P, kw, kh, Cin, Cout]
+    wg = jnp.moveaxis(wc, 0, 3).reshape(kw, kh, cin, p * cout)
+    vmat = np.zeros((p, 4))
+    for q, terms in enumerate(scheme.fwd_in):
+        for a, coef in terms:
+            vmat[q, a] = coef
+    xc = jnp.einsum(
+        "baftc,pa->bftpc", x_st, jnp.asarray(vmat, x_st.dtype)
+    ).reshape(b, f, t, p * cin)
+    dn = lax.conv_dimension_numbers(
+        (b, f, t, p * cin), (kw, kh, cin, p * cout), ("NHWC", "HWIO", "NHWC")
+    )
+    out = lax.conv_general_dilated(
+        xc, wg, (1, 1), padding, dimension_numbers=dn, feature_group_count=p
+    ).reshape(b, f, t, p, cout)
+    omat = np.zeros((4, p))
+    for q, terms in enumerate(scheme.fwd_out):
+        for bo, coef in terms:
+            omat[bo, q] = coef
+    y = jnp.einsum(
+        "bftpc,qp->bqftc", out, jnp.asarray(omat, out.dtype)
+    )
+    return y.astype(x_st.dtype)
+
+
+def _qconv_stacked_grouped_dx_xla(dy_st, w, scheme: _Scheme):
+    """Rotated-role dx as ONE grouped conv (SAME stride-1 odd kernels)."""
+    b, _, f, t, cout = dy_st.shape
+    _, kh, kw, cin, _ = w.shape
+    p = scheme.n_prods
+    wc = jnp.einsum(
+        "ahwkn,pa->pwhnk", w, jnp.asarray(scheme.u, w.dtype)
+    )  # [P, kw, kh, Cout, Cin]
+    wc = wc[:, ::-1, ::-1].astype(dy_st.dtype)
+    wg = jnp.moveaxis(wc, 0, 3).reshape(kw, kh, cout, p * cin)
+    omat = np.zeros((4, p))
+    for q, terms in enumerate(scheme.fwd_out):
+        for bo, coef in terms:
+            omat[bo, q] = coef
+    dyc = jnp.einsum(
+        "bqftc,qp->bftpc", dy_st, jnp.asarray(omat, dy_st.dtype)
+    ).reshape(b, f, t, p * cout)
+    dn = lax.conv_dimension_numbers(
+        (b, f, t, p * cout), (kw, kh, cout, p * cin), ("NHWC", "HWIO", "NHWC")
+    )
+    out = lax.conv_general_dilated(
+        dyc, wg, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=p
+    ).reshape(b, f, t, p, cin)
+    vmat = np.zeros((p, 4))
+    for q, terms in enumerate(scheme.fwd_in):
+        for a, coef in terms:
+            vmat[q, a] = coef
+    dx = jnp.einsum("bftpc,pa->baftc", out, jnp.asarray(vmat, out.dtype))
+    return dx.astype(dy_st.dtype)
+
+
+def _make_stacked_grouped(scheme: _Scheme):
+    @jax.custom_vjp
+    def conv(x_st, w):
+        return _qconv_stacked_grouped_xla(x_st, w, scheme)
+
+    def fwd(x_st, w):
+        return _qconv_stacked_grouped_xla(x_st, w, scheme), (x_st, w)
+
+    def bwd(res, dy):
+        x_st, w = res
+        dx = _qconv_stacked_grouped_dx_xla(dy, w, scheme)
+        (dw,) = jax.linear_transpose(
+            lambda w_: _qconv_stacked_grouped_xla(x_st, w_, scheme),
+            jax.ShapeDtypeStruct(w.shape, w.dtype),
+        )(dy)
+        return dx, dw
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+_FAST8_GROUPED_SAME = _make_stacked_grouped(SCHEME8)
+
+
+def qconv_fast8_grouped(x_st, w, *, padding="SAME"):
+    """Rank-8 quaternion conv as ONE feature-grouped XLA conv dispatch
+    (stacked F-major layout). Same math as qconv_fast8_stacked; measured
+    faster at C>=256 via single-dispatch amortization. Odd-kernel SAME
+    routes through the rotated-role custom VJP; anything else falls back to
+    autodiff of the plain grouped formulation."""
+    if _use_custom_vjp(w, padding):
+        return _FAST8_GROUPED_SAME(x_st, w)
+    return _qconv_stacked_grouped_xla(x_st, w, SCHEME8, padding)

@@ -200,7 +200,9 @@ class TestStackedVariants:
         m_leg = self._build("legacy_auto")
         p = m_leg.init(jax.random.PRNGKey(1), x, train=False)["params"]
         y_leg = m_leg.apply({"params": p}, x, train=False)
-        for variant in ("auto", "stacked", "stacked8", "fused", "fused8"):
+        for variant in (
+            "auto", "stacked", "stacked8", "stacked8g", "fused", "fused8"
+        ):
             m = self._build(variant)
             y = m.apply({"params": p}, x, train=False)
             np.testing.assert_allclose(
