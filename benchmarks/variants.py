@@ -69,10 +69,12 @@ def main():
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
         # config-4 (qlstm preset) arms: equal-real-width LSTM ablation and
-        # the rank-8 recurrent A/B (with a qlstm preset, "auto" = fast8
-        # input projection + block recurrent, "block" = all-block)
+        # the projection-path A/B (with a qlstm preset, "auto" = rank-8
+        # input + rank-8 recurrent = the measured best; "fast8" = rank-8
+        # input only; "block" = all-block)
         "real_lstm": {"model.arch": "real_lstm"},
-        "fast8_recurrent": {"model.op_variant": "fast8_recurrent"},
+        "fast8_recurrent": {"model.op_variant": "fast8_recurrent"},  # == auto
+        "qlstm_fast8_input": {"model.op_variant": "fast8"},
     }
     arms = {}
     for name in args.arms.split(","):

@@ -69,12 +69,15 @@ def build_model(cfg: Config) -> nn.Module:
         from qasr.models.qlstm import QLSTMEncoder
 
         # op_variant for the qlstm arch selects the gate-projection paths:
-        #   auto/fast8 -> rank-8 pre-scan input GEMM, block recurrent
-        #                 (the measured-best split; docs/performance.md)
-        #   block      -> expanded block GEMM everywhere (reference strategy)
-        #   fast8_recurrent -> rank-8 for the in-scan hidden GEMM too (A/B)
+        #   auto/fast8_recurrent -> rank-8 everywhere — measured best
+        #     (61.2 ms/step vs all-block 79.1 at config-4 shapes: the
+        #     in-scan recurrent GEMM at M = 2B rows is WEIGHT-bandwidth
+        #     bound, and rank-8 halves the weight bytes re-read every scan
+        #     step; docs/performance.md)
+        #   fast8 -> rank-8 pre-scan input GEMM only, block recurrent (A/B)
+        #   block -> expanded block GEMM everywhere (reference strategy)
         input_proj = "block" if m.op_variant == "block" else "fast8"
-        recurrent = "fast8" if m.op_variant == "fast8_recurrent" else "block"
+        recurrent = "block" if m.op_variant in ("block", "fast8") else "fast8"
         return QLSTMEncoder(
             conv_features=tuple(m.conv_features),
             dense_features=tuple(m.dense_features),

@@ -168,3 +168,60 @@ class TestLengthMasking:
             np.testing.assert_allclose(
                 np.asarray(y[:, tt]), np.asarray(y[:, t_valid - 1]), rtol=1e-6
             )
+
+
+class TestRecurrentFast8:
+    """The rank-8 in-scan recurrent path (the measured default) must match
+    the block-expanded recurrence bit-for-tolerance with shared params."""
+
+    def test_bilstm_recurrent_variants_match(self):
+        from qasr.models.qlstm import QBiLSTM
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 4 * 5))
+        m_blk = QBiLSTM(hidden=6, recurrent="block")
+        p = m_blk.init(jax.random.PRNGKey(1), x)["params"]
+        y_blk = m_blk.apply({"params": p}, x)
+        m_f8 = QBiLSTM(hidden=6, recurrent="fast8")
+        y_f8 = m_f8.apply({"params": p}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_f8), np.asarray(y_blk), rtol=2e-4, atol=2e-4
+        )
+
+    def test_grads_match(self):
+        from qasr.models.qlstm import QBiLSTM
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 4 * 3))
+        m_blk = QBiLSTM(hidden=4, recurrent="block")
+        p = m_blk.init(jax.random.PRNGKey(1), x)["params"]
+        m_f8 = QBiLSTM(hidden=4, recurrent="fast8")
+
+        def loss(m):
+            return lambda p_: jnp.sum(m.apply({"params": p_}, x) ** 2)
+
+        g1 = jax.tree_util.tree_leaves(jax.grad(loss(m_blk))(p))
+        g2 = jax.tree_util.tree_leaves(jax.grad(loss(m_f8))(p))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+            )
+
+    def test_real_lstm_encoder_builds_and_runs(self):
+        from qasr.configs import get_config
+        from qasr.train.state import build_model
+
+        cfg = get_config("librispeech_qlstm").override(
+            **{
+                "model.arch": "real_lstm",
+                "model.conv_features": "8,8",
+                "model.dense_features": "8",
+                "model.lstm_features": 4,
+                "model.lstm_layers": 1,
+                "model.compute_dtype": "float32",
+            }
+        )
+        m = build_model(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 40, 4))
+        p = m.init(jax.random.PRNGKey(1), x, train=False)["params"]
+        y = m.apply({"params": p}, x, train=False)
+        assert y.shape == (2, 16, cfg.model.vocab)
+        assert np.isfinite(np.asarray(y)).all()
