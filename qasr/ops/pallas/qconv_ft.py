@@ -249,8 +249,8 @@ def _ft_conv_raw(xp, wc, *, kh, kw, f_out, in_terms, out_terms):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, f_out, _TT, _TN),
