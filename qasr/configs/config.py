@@ -31,9 +31,14 @@ class ModelConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16
     use_pallas: bool = False
     # conv path: auto (= measured best: rank-8 stacked chain) | stacked |
-    # stacked8 | fused | fused8 | legacy_auto | block | fast | fast10
+    # stacked8 | stacked8g (grouped single-dispatch) | fused | fused8 |
+    # fusedchain | fusedchain8 (chain-resident Pallas) | legacy_auto |
+    # block | fast | fast10. For arch=qlstm: auto (rank-8 input+recurrent)
+    # | fast8 (rank-8 input only) | block | fast8_recurrent (== auto).
     op_variant: str = "auto"
-    dense_variant: str = "auto"     # dense path: auto | block | fast | pallas
+    # dense path: auto (= measured best: block) | block | fast | fast8 |
+    # fast8_stacked (first dense consumes the stacked conv output) | pallas
+    dense_variant: str = "auto"
 
 
 @dataclass(frozen=True)
