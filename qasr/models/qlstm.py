@@ -88,6 +88,7 @@ class QLSTMLayer(nn.Module):
     reverse: bool = False
     dtype: jnp.dtype | None = None
     input_proj: str = "fast8"  # see QBiLSTM
+    recurrent: str = "block"   # see QBiLSTM ("fast8" = rank-8 in-scan GEMM)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -103,7 +104,14 @@ class QLSTMLayer(nn.Module):
         # (XLA does not reliably hoist the expansion out of the loop body).
         in_proj = qdense_fast8 if self.input_proj == "fast8" else qdense
         xz = in_proj(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
-        wh_big = hamilton_expand(wh.astype(dtype))  # [4H, 16H]
+        if self.recurrent == "fast8":
+            wc8 = jnp.einsum(
+                "akn,pa->pkn", wh, jnp.asarray(U8, wh.dtype)
+            ).astype(dtype)  # [8, H, 4H]
+            v8 = jnp.asarray(V8, dtype)
+            o8 = jnp.asarray(O8, jnp.float32)
+        else:
+            wh_big = hamilton_expand(wh.astype(dtype))  # [4H, 16H]
 
         h0 = jnp.zeros((b, 4 * self.hidden), dtype)
         c0 = jnp.zeros((b, 4 * self.hidden), dtype)
@@ -114,7 +122,19 @@ class QLSTMLayer(nn.Module):
         def step(carry, inp):
             h, c = carry
             xz_t, t_idx = inp
-            z = xz_t + h @ wh_big
+            if self.recurrent == "fast8":
+                hs_ = h.reshape(b, 4, self.hidden)
+                hc = jnp.einsum("bak,pa->bpk", hs_, v8)
+                prods = jnp.einsum(
+                    "bpk,pkn->bpn", hc, wc8,
+                    preferred_element_type=jnp.float32,
+                )
+                proj = jnp.einsum("bpn,qp->bqn", prods, o8).reshape(
+                    b, 16 * self.hidden
+                ).astype(dtype)
+            else:
+                proj = h @ wh_big
+            z = xz_t + proj
             h_new, c_new = _gate_update(z, c)
             if lengths is not None:
                 active = (t_idx < lengths)[:, None]
@@ -165,9 +185,6 @@ class QBiLSTM(nn.Module):
         zf = (zf + bf.astype(dtype)).reshape(b, t, -1)
         zb = (zb + bb.astype(dtype)).reshape(b, t, -1)
 
-        wh_big = jnp.stack(
-            [hamilton_expand(whf.astype(dtype)), hamilton_expand(whb.astype(dtype))]
-        )  # [2, 4H, 16H]
         if self.recurrent == "fast8":
             # rank-8 recurrent path: per-direction U-combined weights
             wc8 = jnp.stack(
@@ -178,6 +195,13 @@ class QBiLSTM(nn.Module):
             ).astype(dtype)  # [2, 8, H, 4H]
             v8 = jnp.asarray(V8, dtype)
             o8 = jnp.asarray(O8, jnp.float32)
+        else:
+            wh_big = jnp.stack(
+                [
+                    hamilton_expand(whf.astype(dtype)),
+                    hamilton_expand(whb.astype(dtype)),
+                ]
+            )  # [2, 4H, 16H]
 
         # xs: [T, 2, B, 16H]; backward stream time-flipped
         xs = jnp.stack(
@@ -280,6 +304,7 @@ class QLSTMEncoder(nn.Module):
                     self.lstm_features,
                     dtype=self.dtype,
                     input_proj=self.input_proj,
+                    recurrent=self.recurrent,
                     name=f"qlstm_{i}",
                 )(x, lengths)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

@@ -88,6 +88,10 @@ class _Scheme:
         )
         self.dx_in = self.fwd_out
         self.dx_out = self.fwd_in
+        # dense forms of the (sparse) term tables, for formulations that
+        # contract against the full matrices (grouped conv, dense ops)
+        self.v_mat = v.copy()          # [P, 4] input-side
+        self.o_mat = o.copy()          # [4, P] output-side
 
 
 SCHEME10 = _Scheme("fast10", W_COMBO, X_COMBO, OUT_COMBO)
@@ -584,12 +588,8 @@ def _qconv_stacked_grouped_xla(x_st, w, scheme: _Scheme, padding="SAME"):
         jnp.asarray(scheme.u, w.dtype),
     ).astype(x_st.dtype)  # [P, kw, kh, Cin, Cout]
     wg = jnp.moveaxis(wc, 0, 3).reshape(kw, kh, cin, p * cout)
-    vmat = np.zeros((p, 4))
-    for q, terms in enumerate(scheme.fwd_in):
-        for a, coef in terms:
-            vmat[q, a] = coef
     xc = jnp.einsum(
-        "baftc,pa->bftpc", x_st, jnp.asarray(vmat, x_st.dtype)
+        "baftc,pa->bftpc", x_st, jnp.asarray(scheme.v_mat, x_st.dtype)
     ).reshape(b, f, t, p * cin)
     dn = lax.conv_dimension_numbers(
         (b, f, t, p * cin), (kw, kh, cin, p * cout), ("NHWC", "HWIO", "NHWC")
@@ -597,12 +597,8 @@ def _qconv_stacked_grouped_xla(x_st, w, scheme: _Scheme, padding="SAME"):
     out = lax.conv_general_dilated(
         xc, wg, (1, 1), padding, dimension_numbers=dn, feature_group_count=p
     ).reshape(b, f, t, p, cout)
-    omat = np.zeros((4, p))
-    for q, terms in enumerate(scheme.fwd_out):
-        for bo, coef in terms:
-            omat[bo, q] = coef
     y = jnp.einsum(
-        "bftpc,qp->bqftc", out, jnp.asarray(omat, out.dtype)
+        "bftpc,qp->bqftc", out, jnp.asarray(scheme.o_mat, out.dtype)
     )
     return y.astype(x_st.dtype)
 
@@ -617,12 +613,8 @@ def _qconv_stacked_grouped_dx_xla(dy_st, w, scheme: _Scheme):
     )  # [P, kw, kh, Cout, Cin]
     wc = wc[:, ::-1, ::-1].astype(dy_st.dtype)
     wg = jnp.moveaxis(wc, 0, 3).reshape(kw, kh, cout, p * cin)
-    omat = np.zeros((4, p))
-    for q, terms in enumerate(scheme.fwd_out):
-        for bo, coef in terms:
-            omat[bo, q] = coef
     dyc = jnp.einsum(
-        "bqftc,qp->bftpc", dy_st, jnp.asarray(omat, dy_st.dtype)
+        "bqftc,qp->bftpc", dy_st, jnp.asarray(scheme.o_mat, dy_st.dtype)
     ).reshape(b, f, t, p * cout)
     dn = lax.conv_dimension_numbers(
         (b, f, t, p * cout), (kw, kh, cout, p * cin), ("NHWC", "HWIO", "NHWC")
@@ -630,11 +622,9 @@ def _qconv_stacked_grouped_dx_xla(dy_st, w, scheme: _Scheme):
     out = lax.conv_general_dilated(
         dyc, wg, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=p
     ).reshape(b, f, t, p, cin)
-    vmat = np.zeros((p, 4))
-    for q, terms in enumerate(scheme.fwd_in):
-        for a, coef in terms:
-            vmat[q, a] = coef
-    dx = jnp.einsum("bftpc,pa->baftc", out, jnp.asarray(vmat, out.dtype))
+    dx = jnp.einsum(
+        "bftpc,pa->baftc", out, jnp.asarray(scheme.v_mat, out.dtype)
+    )
     return dx.astype(dy_st.dtype)
 
 

@@ -244,8 +244,11 @@ def evaluate(
         # weight each batch's mean loss by its scored reference tokens so the
         # epoch loss stays an honest per-token average if batch content varies
         # (pad rows of remainder batches carry zero weight — loss_fn already
-        # excludes them, so weight by REAL tokens only)
-        real = np.asarray(batch["real_rows"])
+        # excludes them, so weight by REAL tokens only). Batches from sources
+        # other than make_batch may omit the mask: treat every row as real,
+        # matching make_loss_fn's optional handling.
+        bsz = len(batch["label_lengths"])
+        real = np.asarray(batch.get("real_rows", np.ones(bsz, bool)))
         losses.append(
             (float(out["loss"]), int(np.sum(batch["label_lengths"] * real)))
         )
@@ -254,7 +257,11 @@ def evaluate(
         # Remainder-batch pad rows (real_rows=False) are dropped so each
         # utterance is scored exactly once (reference protocol).
         refs = host_rows(
-            {k: batch[k] for k in ("labels", "label_lengths", "real_rows")}
+            {
+                "labels": batch["labels"],
+                "label_lengths": batch["label_lengths"],
+                "real_rows": batch.get("real_rows", np.ones(bsz, bool)),
+            }
         )
         keep = np.asarray(refs["real_rows"])
         if not keep.any():  # this host's slice can be all pads on multi-host

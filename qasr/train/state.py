@@ -76,6 +76,11 @@ def build_model(cfg: Config) -> nn.Module:
         #     step; docs/performance.md)
         #   fast8 -> rank-8 pre-scan input GEMM only, block recurrent (A/B)
         #   block -> expanded block GEMM everywhere (reference strategy)
+        if m.op_variant not in ("auto", "block", "fast8", "fast8_recurrent"):
+            raise ValueError(
+                f"op_variant {m.op_variant!r} is not valid for arch='qlstm' "
+                "(choose auto | block | fast8 | fast8_recurrent)"
+            )
         input_proj = "block" if m.op_variant == "block" else "fast8"
         recurrent = "block" if m.op_variant in ("block", "fast8") else "fast8"
         return QLSTMEncoder(

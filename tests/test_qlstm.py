@@ -225,3 +225,30 @@ class TestRecurrentFast8:
         y = m.apply({"params": p}, x, train=False)
         assert y.shape == (2, 16, cfg.model.vocab)
         assert np.isfinite(np.asarray(y)).all()
+
+    def test_unidirectional_recurrent_variants_match(self):
+        """QLSTMLayer honors the recurrent knob too (the encoder passes it
+        for bidirectional=False configs)."""
+        from qasr.models.qlstm import QLSTMLayer
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 10, 4 * 3))
+        m_blk = QLSTMLayer(hidden=5, recurrent="block")
+        p = m_blk.init(jax.random.PRNGKey(1), x)["params"]
+        y_blk = m_blk.apply({"params": p}, x)
+        m_f8 = QLSTMLayer(hidden=5, recurrent="fast8")
+        y_f8 = m_f8.apply({"params": p}, x)
+        np.testing.assert_allclose(
+            np.asarray(y_f8), np.asarray(y_blk), rtol=2e-4, atol=2e-4
+        )
+
+    def test_invalid_qlstm_op_variant_rejected(self):
+        from qasr.configs import get_config
+        from qasr.train.state import build_model
+
+        cfg = get_config("librispeech_qlstm").override(
+            **{"model.op_variant": "fast10"}
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not valid for arch='qlstm'"):
+            build_model(cfg)

@@ -305,3 +305,48 @@ class TestQDenseFast8:
         gb = jax.grad(lambda a, b: jnp.sum(qdense(a, b) ** 2), argnums=(0, 1))(x, w)
         np.testing.assert_allclose(np.asarray(g8[0]), np.asarray(gb[0]), atol=3e-4, rtol=3e-4)
         np.testing.assert_allclose(np.asarray(g8[1]), np.asarray(gb[1]), atol=3e-3, rtol=3e-3)
+
+
+class TestGroupedConv:
+    """stacked8g (one feature-grouped dispatch) must match the separate-conv
+    rank-8 path for values AND the hand-written rotated-role backward."""
+
+    def test_value_and_grads_match_stacked(self):
+        from qasr.ops.pallas.qconv_ft import (
+            qconv_fast8_grouped,
+            qconv_fast8_stacked,
+        )
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, (2, 4, 5, 12, 16))
+        w = jax.random.normal(kw, (4, 3, 3, 16, 8)) * 0.2
+        np.testing.assert_allclose(
+            np.asarray(qconv_fast8_grouped(x, w)),
+            np.asarray(qconv_fast8_stacked(x, w)),
+            rtol=2e-4, atol=2e-4,
+        )
+        g1 = jax.grad(
+            lambda x_, w_: jnp.sum(qconv_fast8_grouped(x_, w_) ** 2), (0, 1)
+        )(x, w)
+        g2 = jax.grad(
+            lambda x_, w_: jnp.sum(qconv_fast8_stacked(x_, w_) ** 2), (0, 1)
+        )(x, w)
+        np.testing.assert_allclose(g1[0], g2[0], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(g1[1], g2[1], rtol=1e-3, atol=1e-3)
+
+    def test_even_kernel_falls_back_to_autodiff(self):
+        from qasr.ops.pallas.qconv_ft import qconv_fast8_grouped
+        from qasr.ops.qlinalg import qconv
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(kx, (1, 4, 4, 8, 4))
+        w = jax.random.normal(kw, (4, 2, 2, 4, 4)) * 0.3
+        # value parity vs the block oracle through the packed layout
+        from qasr.ops.pallas.qconv_ft import stacked_to_pack
+
+        got = jnp.swapaxes(stacked_to_pack(qconv_fast8_grouped(x, w)), 1, 2)
+        xp = jnp.swapaxes(stacked_to_pack(x), 1, 2)
+        want = qconv(xp, w, padding="SAME")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
