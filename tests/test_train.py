@@ -167,6 +167,32 @@ class TestEvalPadRows:
         assert sum(scored) == 17
         assert np.isfinite(dev["loss"])
 
+    def test_beam_eval_scores_each_utterance_once(self, monkeypatch):
+        """The beam-decode eval path must drop pad rows too."""
+        import qasr.train.loop as loop_mod
+
+        cfg = get_config("tiny_synthetic").override(
+            **{"data.batch_size": 8, "data.num_synthetic": 11}
+        )
+        ds = SyntheticDataset(
+            vocab=cfg.model.vocab, n_mels=cfg.data.n_mels,
+            num_examples=11, seed=0,
+        )
+        first = next(iter(epoch_iterator(ds, cfg.data, train=False)))
+        state = create_train_state(cfg, jax.random.PRNGKey(0), first["features"])
+
+        scored = []
+        real_bp = loop_mod.batch_per
+
+        def counting_bp(refs, ref_lens, hyps, hyp_lens, **kw):
+            scored.append(len(ref_lens))
+            return real_bp(refs, ref_lens, hyps, hyp_lens, **kw)
+
+        monkeypatch.setattr(loop_mod, "batch_per", counting_bp)
+        dev = evaluate(cfg, state.params, ds, None, beam=True)
+        assert sum(scored) == 11
+        assert np.isfinite(dev["loss"])
+
     def test_masked_loss_ignores_pad_rows(self):
         """The per-token eval loss must be identical whether an utterance
         arrives alone or alongside masked pad repeats."""
