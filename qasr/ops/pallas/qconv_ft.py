@@ -6,7 +6,8 @@ real conv2d on the 4x-expanded block kernel (16 block products; SURVEY.md
 §3.2, mount empty). Everything here exploits a layout chosen around the
 TPU's tiling rules plus reduced-product bilinear schemes (rank-10 / rank-8,
 quaternion.py); the measured production path is `qconv_fast{10,8}_stacked`
-(plain XLA convs + a custom VJP whose dx is rotated-role forward convs),
+(plain XLA convs + a custom VJP whose dx is a PLAIN quaternion conv with
+the conjugate-adjoint kernel — see _conj_transpose_w),
 and `qconv2d_ft{,8}_stacked` is the fused Pallas kernel — its dots alone
 run at 97% of scheme speed-of-light, the quantified proof of attainable in
 docs/performance.md, and the fallback if a shape regime hits an XLA
@@ -428,33 +429,18 @@ def _qconv_stacked_xla(x_st, w, scheme: _Scheme, padding="SAME"):
     return jnp.stack(outs, axis=1)  # [B, 4, F, T, Cout]
 
 
-def _qconv_stacked_dx_xla(dy_st, w, scheme: _Scheme):
-    """dx as PLAIN forward convs (rotated-role decomposition): input combos
-    from O's columns, weights flip-transposed U-combos, outputs from V's
-    columns. Measured 11% faster than XLA's transposed-conv lowering of the
-    autodiff dx at flagship shapes (docs/performance.md). SAME stride-1."""
-    wc = jnp.einsum(
-        "ahwkn,pa->pwhnk", w, jnp.asarray(scheme.u, w.dtype)
-    )  # [P, kw, kh, N, C]: spatial swapped for the (F, T) layout
-    wc = wc[:, ::-1, ::-1].astype(dy_st.dtype)
-    sample = dy_st[:, 0]
-    dn = lax.conv_dimension_numbers(
-        sample.shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
-    )
+def _conj_transpose_w(w):
+    """[4, kh, kw, Cin, Cout] -> the adjoint kernel [4, kh, kw, Cout, Cin].
 
-    outs = [None] * 4
-    for p in range(scheme.n_prods):
-        dyc = None
-        for b_, coef in scheme.fwd_out[p]:
-            term = _scaled(dy_st[:, b_], coef)
-            dyc = term if dyc is None else dyc + term
-        prod = lax.conv_general_dilated(
-            dyc, wc[p], (1, 1), "SAME", dimension_numbers=dn
-        )
-        for a, coef in scheme.fwd_in[p]:
-            term = _scaled(prod, coef)
-            outs[a] = term if outs[a] is None else outs[a] + term
-    return jnp.stack(outs, axis=1)
+    The adjoint of quaternion left-multiplication is multiplication by the
+    CONJUGATE (<w⊗x, y> = <x, conj(w)⊗y> in the real inner product), so the
+    transposed conv is a PLAIN quaternion conv with conj(w), channel dims
+    swapped and spatial taps flipped — which means dx can use the standard
+    scheme with its 2-SPARSE input combos instead of the dense rotated-role
+    O-column combos (measured ~3% faster dx; docs/performance.md).
+    """
+    wc = jnp.stack([w[0], -w[1], -w[2], -w[3]])[:, ::-1, ::-1]
+    return jnp.swapaxes(wc, -1, -2)
 
 
 def _make_stacked_xla(scheme: _Scheme):
@@ -467,7 +453,7 @@ def _make_stacked_xla(scheme: _Scheme):
 
     def bwd(res, dy):
         x_st, w = res
-        dx = _qconv_stacked_dx_xla(dy, w, scheme)
+        dx = _qconv_stacked_xla(dy, _conj_transpose_w(w), scheme, "SAME")
         dw = _ft_dw_impl(x_st, dy, w.shape, w.dtype, scheme)
         return dx, dw
 
