@@ -122,8 +122,15 @@ def bucketed_batches(
     order = np.arange(len(examples))
     if shuffle:
         rng.shuffle(order)
+    # streaming pipelines featurize a whole upcoming block in one device
+    # dispatch when told the epoch order ahead of consumption (see
+    # FeaturePipeline.prefetch); everything else ignores the hint
+    prefetch = getattr(examples, "prefetch", None)
+    block = max(batch_size, 16)
     pools: dict[int, list] = {b: [] for b in bucket_sizes}
-    for idx in order:
+    for pos, idx in enumerate(order):
+        if prefetch is not None and pos % block == 0:
+            prefetch(order[pos : pos + block])
         x, y = examples[idx]
         bucket = pick_bucket(x.shape[0], bucket_sizes)
         pools[bucket].append((x, y))
@@ -158,6 +165,11 @@ class _PairView:
     def __getitem__(self, i):
         ex = self._dataset[i]
         return ex.features, ex.labels
+
+    def prefetch(self, indices):
+        p = getattr(self._dataset, "prefetch", None)
+        if p is not None:
+            p(indices)
 
 
 def epoch_iterator(dataset, cfg, *, seed: int = 0, train: bool = True):

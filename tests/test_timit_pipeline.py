@@ -196,6 +196,49 @@ class TestFeaturePipeline:
                 a.features, b.features, rtol=1e-4, atol=1e-4
             )
 
+    def test_block_prefetch_matches_per_utterance(self, fixture_corpus, tmp_path):
+        """Streaming block prefetch (one padded device dispatch per block)
+        must produce the same features as the per-utterance path, and the
+        batcher must actually drive it."""
+        from qasr.data.batching import epoch_iterator
+        from qasr.data.pipeline import TimitFeaturePipeline
+
+        cfg = get_config("timit_qcnn").override(
+            **{"data.data_dir": fixture_corpus, "data.batch_size": 2,
+               "data.bucket_sizes": "512"}
+        )
+        streaming = TimitFeaturePipeline(
+            cfg, split="train", featurize_batch=2,
+            cache_dir=str(tmp_path / "p"), cache_features=False,
+        )
+        n = len(streaming)
+        # per-utterance ground truth
+        plain = [streaming._featurize_one(i) for i in range(n)]
+        # block path
+        streaming.prefetch(range(n))
+        assert len(streaming._stream_cache) == n
+        for i in range(n):
+            got = streaming[i]  # pops from the block cache
+            np.testing.assert_array_equal(got.labels, plain[i].labels)
+            np.testing.assert_allclose(
+                got.features, plain[i].features, rtol=1e-4, atol=1e-4
+            )
+        assert not streaming._stream_cache  # popped on access (bounded)
+
+        # the batcher announces the epoch order: prefetch gets called and
+        # batches come out identical to the unprefetched stream
+        calls = []
+        real = streaming.prefetch
+
+        def spy(idxs):
+            calls.append(list(idxs))
+            real(idxs)
+
+        streaming.prefetch = spy
+        batches = list(epoch_iterator(streaming, cfg.data, train=True, seed=3))
+        assert calls and sum(len(c) for c in calls) >= n
+        assert batches
+
     def test_end_to_end(self, fixture_corpus):
         cfg = get_config("timit_qcnn").override(
             **{"data.data_dir": fixture_corpus, "data.batch_size": 2}
