@@ -245,14 +245,19 @@ def main():
     cfg_m = base.model
     f_pooled = f
     conv_flops_expanded = 0
+    layer0_flops = 0
     cin = 1
     for i, feats in enumerate(cfg_m.conv_features):
-        conv_flops_expanded += qconv_flops(b, t, f_pooled, cin, feats)
+        lf = qconv_flops(b, t, f_pooled, cin, feats)
+        conv_flops_expanded += lf
+        if i == 0:
+            layer0_flops = lf
         if i + 1 == cfg_m.pool_after:
             f_pooled = f_pooled // cfg_m.pool_size
         cin = feats
-    # fwd + dx + dW each cost one conv pass (dx absent for the input layer)
-    step_flops_expanded = 3 * conv_flops_expanded
+    # fwd + dx + dW each cost one conv pass, except dx is absent for the
+    # input layer (no gradient flows to the features)
+    step_flops_expanded = 3 * conv_flops_expanded - layer0_flops
     peak = CHIPS["v5e"].peak_bf16_tflops * 1e12
     pct = 100.0 * step_flops_expanded / times["qcnn"] / peak / n_chips
 

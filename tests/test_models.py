@@ -110,6 +110,32 @@ class TestConfigs:
         cfg = cfg.override(**{"model.compute_dtype": "bfloat16"})
         assert cfg.model.compute_dtype == "bfloat16"
 
+    def test_beam_prune_scoped_to_timit_presets(self):
+        # round-4 verdict: pruning is a TIMIT protocol setting, not a global
+        # default — a fresh non-TIMIT config must decode unpruned
+        from qasr.configs import Config
+
+        assert Config().decode.beam_prune_logp is None
+        assert get_config("tiny_synthetic").decode.beam_prune_logp is None
+        assert get_config("librispeech_qlstm").decode.beam_prune_logp is None
+        assert get_config("timit_qcnn").decode.beam_prune_logp == -20.0
+        assert get_config("timit_qcnn_fm64").decode.beam_prune_logp == -20.0
+
+    def test_optional_float_cli_coercion(self):
+        cfg = get_config("timit_qcnn").override(
+            **{"decode.beam_prune_logp": "none"}
+        )
+        assert cfg.decode.beam_prune_logp is None
+        cfg = cfg.override(**{"decode.beam_prune_logp": "-12.5"})
+        assert cfg.decode.beam_prune_logp == -12.5
+        # JSON round-trip preserves None
+        from qasr.configs import Config
+
+        cfg2 = Config.from_json(
+            cfg.override(**{"decode.beam_prune_logp": "null"}).to_json()
+        )
+        assert cfg2.decode.beam_prune_logp is None
+
     def test_override_tuple_coercion(self):
         # CLI strings for tuple-typed fields, including the single-element
         # case that the old comma test left as a bare string
