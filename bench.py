@@ -195,6 +195,44 @@ def mosaic_gate():
     for got, want, nm in zip(g1, g2, ("x", "w1", "b1", "a1", "w2", "b2")):
         check(f"chain grad {nm}", got, want)
 
+    # scan-resident QLSTM recurrence (qlstm_scan.py): fwd + all param grads
+    # vs the XLA rank-8 in-scan path with shared params and ragged lengths.
+    # Tolerance is looser than the conv gates: the kernel's in-step compute
+    # is f32 where the XLA scan's elementwise path is bf16, and the
+    # recurrence compounds that over T — a real Mosaic regression (wrong
+    # slice, dropped product, bad relayout) still lands orders above.
+    from qasr.models.qlstm import QBiLSTM
+
+    qtol = 0.06
+    bq, tq, hq = 2, 24, 128
+    xq = jax.random.normal(jax.random.PRNGKey(7), (bq, tq, 4 * 2 * hq)) * 0.5
+    xq = xq.astype(jnp.bfloat16)
+    lens = jnp.asarray([tq, tq - 7], jnp.int32)
+    ref_m = QBiLSTM(hq, dtype=jnp.bfloat16, recurrent="fast8")
+    pal_m = QBiLSTM(hq, dtype=jnp.bfloat16, recurrent="pallas8")
+    pq = ref_m.init(jax.random.PRNGKey(8), xq, lens)
+
+    def qloss(m):
+        return lambda p_: jnp.sum(
+            m.apply(p_, xq, lens).astype(jnp.float32) ** 2
+        )
+
+    y_ref = jax.jit(lambda p_: ref_m.apply(p_, xq, lens))(pq)
+    y_pal = jax.jit(lambda p_: pal_m.apply(p_, xq, lens))(pq)
+    r = _rel_rms(y_pal, y_ref)
+    assert r < qtol, f"Mosaic qlstm_scan fwd parity fail: rel RMS {r:.4f}"
+    gq_ref = jax.jit(jax.grad(qloss(ref_m)))(pq)
+    gq_pal = jax.jit(jax.grad(qloss(pal_m)))(pq)
+    for (kp, a), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(gq_ref),
+        jax.tree_util.tree_leaves_with_path(gq_pal),
+    ):
+        r = _rel_rms(b_, a)
+        assert r < qtol, (
+            f"Mosaic qlstm_scan grad parity fail at "
+            f"{jax.tree_util.keystr(kp)}: rel RMS {r:.4f}"
+        )
+
 
 def main():
     import jax

@@ -75,6 +75,9 @@ def main():
         "real_lstm": {"model.arch": "real_lstm"},
         "fast8_recurrent": {"model.op_variant": "fast8_recurrent"},  # == auto
         "qlstm_fast8_input": {"model.op_variant": "fast8"},
+        # scan-resident Pallas recurrence: rank-8 weights VMEM-resident
+        # across all T steps (qasr/ops/pallas/qlstm_scan.py)
+        "qlstm_pallas8": {"model.op_variant": "pallas8"},
     }
     arms = {}
     for name in args.arms.split(","):

@@ -92,6 +92,11 @@ class QLSTMLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
+        if self.recurrent == "pallas8":
+            raise ValueError(
+                "recurrent='pallas8' is bidirectional-only (QBiLSTM); the "
+                "unidirectional layer would silently fall back otherwise"
+            )
         b, t, cin4 = x.shape
         cin = cin4 // 4
         dtype = self.dtype or x.dtype
@@ -164,8 +169,12 @@ class QBiLSTM(nn.Module):
     # FLOPs of the expanded GEMM; the M = B*T row count fills the MXU, so
     # the cut pays — measured, docs/performance.md); "block" = expanded GEMM
     input_proj: str = "fast8"
-    # recurrent projection: "block" (default — M = 2B rows underfill the
-    # MXU, so fewer/bigger dispatches win; measured) | "fast8"
+    # recurrent projection: "block" (expanded in-scan GEMM) | "fast8"
+    # (rank-8 in-scan einsums — halves the per-step HBM weight re-read) |
+    # "pallas8" (scan-resident Pallas kernel, qasr/ops/pallas/qlstm_scan.py:
+    # the rank-8 weights stay VMEM-resident across ALL T steps, deleting
+    # the per-step weight re-read entirely — the measured config-4
+    # bottleneck, docs/performance.md)
     recurrent: str = "block"
 
     @nn.compact
@@ -184,6 +193,23 @@ class QBiLSTM(nn.Module):
         zf, zb = qchannel_split(z, 2)  # each [B*T, 16H]
         zf = (zf + bf.astype(dtype)).reshape(b, t, -1)
         zb = (zb + bb.astype(dtype)).reshape(b, t, -1)
+
+        if self.recurrent == "pallas8":
+            from qasr.ops.pallas.qlstm_scan import qlstm_scan_fast8
+
+            wc8 = jnp.stack(
+                [
+                    jnp.einsum("akn,pa->pkn", whf, jnp.asarray(U8, whf.dtype)),
+                    jnp.einsum("akn,pa->pkn", whb, jnp.asarray(U8, whb.dtype)),
+                ]
+            ).astype(dtype)  # [2, 8, H, 4H]
+            xs = jnp.stack(
+                [jnp.moveaxis(zf, 1, 0), jnp.moveaxis(zb, 1, 0)[::-1]], axis=1
+            )  # [T, 2, B, 16H], backward stream time-flipped
+            hs = qlstm_scan_fast8(xs, wc8, lengths)  # [T, 2, B, 4H]
+            fwd = jnp.moveaxis(hs[:, 0], 0, 1)
+            bwd = jnp.moveaxis(hs[::-1, 1], 0, 1)
+            return qchannel_concat([fwd, bwd])
 
         if self.recurrent == "fast8":
             # rank-8 recurrent path: per-direction U-combined weights

@@ -76,13 +76,42 @@ def build_model(cfg: Config) -> nn.Module:
         #     step; docs/performance.md)
         #   fast8 -> rank-8 pre-scan input GEMM only, block recurrent (A/B)
         #   block -> expanded block GEMM everywhere (reference strategy)
-        if m.op_variant not in ("auto", "block", "fast8", "fast8_recurrent"):
+        #   pallas8 -> rank-8 input GEMM + SCAN-RESIDENT Pallas recurrence
+        #     (weights VMEM-resident across all T steps; requires bf16 and
+        #     lane-aligned hidden — qasr/ops/pallas/qlstm_scan.supported)
+        if m.op_variant not in (
+            "auto", "block", "fast8", "fast8_recurrent", "pallas8"
+        ):
             raise ValueError(
                 f"op_variant {m.op_variant!r} is not valid for arch='qlstm' "
-                "(choose auto | block | fast8 | fast8_recurrent)"
+                "(choose auto | block | fast8 | fast8_recurrent | pallas8)"
             )
         input_proj = "block" if m.op_variant == "block" else "fast8"
-        recurrent = "block" if m.op_variant in ("block", "fast8") else "fast8"
+        if m.op_variant == "pallas8":
+            recurrent = "pallas8"
+        else:
+            recurrent = (
+                "block" if m.op_variant in ("block", "fast8") else "fast8"
+            )
+        if m.op_variant == "auto" and recurrent == "fast8":
+            # measured best on the v5e (docs/performance.md): the
+            # scan-resident Pallas recurrence (39.7 vs 61.2 ms/step at
+            # config-4 shapes). Routed only where its contract holds: bf16,
+            # lane-aligned hidden, bidirectional, real-TPU backend, and a
+            # single chip — under a multi-chip GSPMD mesh the pallas call
+            # has no partitioning rule yet (force with op_variant="pallas8"
+            # or shard_map it; qasr/ops/pallas/qlstm_scan.py docstring).
+            import jax
+
+            from qasr.ops.pallas import qlstm_scan
+
+            if (
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and m.bidirectional
+                and qlstm_scan.supported(m.lstm_features, dtype)
+            ):
+                recurrent = "pallas8"
         return QLSTMEncoder(
             conv_features=tuple(m.conv_features),
             dense_features=tuple(m.dense_features),

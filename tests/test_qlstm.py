@@ -241,6 +241,16 @@ class TestRecurrentFast8:
             np.asarray(y_f8), np.asarray(y_blk), rtol=2e-4, atol=2e-4
         )
 
+    def test_pallas8_op_variant_builds(self):
+        from qasr.configs import get_config
+        from qasr.train.state import build_model
+
+        cfg = get_config("librispeech_qlstm").override(
+            **{"model.op_variant": "pallas8"}
+        )
+        m = build_model(cfg)
+        assert m.recurrent == "pallas8"
+
     def test_invalid_qlstm_op_variant_rejected(self):
         from qasr.configs import get_config
         from qasr.train.state import build_model
@@ -252,3 +262,103 @@ class TestRecurrentFast8:
 
         with _pytest.raises(ValueError, match="not valid for arch='qlstm'"):
             build_model(cfg)
+
+
+class TestPallasScan:
+    """Scan-resident Pallas recurrence (qasr/ops/pallas/qlstm_scan.py) —
+    interpret-mode parity vs the XLA rank-8 in-scan path with shared params
+    (fwd + every param grad), across the wrapper's padding paths (odd T,
+    B not a multiple of the row tile) and with per-utterance lengths."""
+
+    def _pair(self, hidden=128):
+        from qasr.models.qlstm import QBiLSTM
+
+        return (
+            QBiLSTM(hidden=hidden, recurrent="fast8"),
+            QBiLSTM(hidden=hidden, recurrent="pallas8"),
+        )
+
+    @pytest.mark.parametrize(
+        "b,t",
+        [
+            (2, 16),   # aligned-ish
+            (3, 17),   # odd T -> time padding; B=3 -> row-tile padding
+            (1, 5),    # tiny
+        ],
+    )
+    def test_forward_parity(self, b, t):
+        from jax.experimental.pallas import tpu as pltpu
+
+        ref, pal = self._pair()
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, 4 * 8)) * 0.5
+        lengths = jnp.asarray((np.arange(b) % t + max(1, t - b)) % t + 1)
+        p = ref.init(jax.random.PRNGKey(1), x, lengths)
+        y_ref = ref.apply(p, x, lengths)
+        with pltpu.force_tpu_interpret_mode():
+            y_pal = pal.apply(p, x, lengths)
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_forward_parity_no_lengths(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        ref, pal = self._pair()
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 4 * 8)) * 0.5
+        p = ref.init(jax.random.PRNGKey(1), x)
+        y_ref = ref.apply(p, x)
+        with pltpu.force_tpu_interpret_mode():
+            y_pal = pal.apply(p, x)
+        np.testing.assert_allclose(
+            np.asarray(y_pal), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_grads_parity(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        ref, pal = self._pair()
+        b, t = 3, 14
+        x = jax.random.normal(jax.random.PRNGKey(3), (b, t, 4 * 8)) * 0.5
+        lengths = jnp.asarray([14, 9, 4], jnp.int32)
+        p = ref.init(jax.random.PRNGKey(1), x, lengths)
+
+        def loss(m):
+            return lambda p_: jnp.sum(
+                m.apply(p_, x, lengths).astype(jnp.float32) ** 2
+            )
+
+        g_ref = jax.grad(loss(ref))(p)
+        with pltpu.force_tpu_interpret_mode():
+            g_pal = jax.grad(loss(pal))(p)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_pal = dict(
+            (jax.tree_util.keystr(kp), v)
+            for kp, v in jax.tree_util.tree_leaves_with_path(g_pal)
+        )
+        for kp, a in flat_ref:
+            b_ = flat_pal[jax.tree_util.keystr(kp)]
+            np.testing.assert_allclose(
+                np.asarray(b_),
+                np.asarray(a),
+                rtol=2e-4,
+                atol=2e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}",
+            )
+
+    def test_unaligned_hidden_rejected(self):
+        from qasr.ops.pallas.qlstm_scan import qlstm_scan_fast8, supported
+
+        assert supported(128) and supported(256)
+        assert not supported(96)
+        assert not supported(1024)  # weights exceed VMEM
+        xz = jnp.zeros((4, 2, 1, 16 * 96))
+        wc8 = jnp.zeros((2, 8, 96, 4 * 96))
+        with pytest.raises(ValueError, match="lane-aligned"):
+            qlstm_scan_fast8(xz, wc8)
+
+    def test_supported_gates_dtype(self):
+        from qasr.ops.pallas.qlstm_scan import supported
+
+        assert supported(256, jnp.bfloat16)
+        assert not supported(256, jnp.float32)
+        assert supported(256, None)  # interpret-mode tests
