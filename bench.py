@@ -195,6 +195,26 @@ def mosaic_gate():
     for got, want, nm in zip(g1, g2, ("x", "w1", "b1", "a1", "w2", "b2")):
         check(f"chain grad {nm}", got, want)
 
+    # rank-8 in-VMEM-combo GEMM (qgemm8.py): fwd + both grads vs the block
+    # qdense, covering both tile branches (small-K / large-K) and both dW
+    # formulations (block / rank-8, switched at k*n >= 1M)
+    from qasr.ops.pallas.qgemm8 import qdense_pallas8
+    from qasr.ops.qlinalg import qdense as _qdense_blk
+
+    for mg, kg, ng in ((256, 256, 128), (64, 1152, 896)):
+        kx, kw = jax.random.split(jax.random.PRNGKey(mg + kg))
+        xg = jax.random.normal(kx, (mg, 4 * kg), jnp.bfloat16) * 0.3
+        wg = jax.random.normal(kw, (4, kg, ng), jnp.bfloat16) * 0.05
+        check(
+            f"qgemm8 fwd K{kg}",
+            jax.jit(qdense_pallas8)(xg, wg),
+            jax.jit(_qdense_blk)(xg, wg),
+        )
+        gxp, gwp = grads(lambda x_, w_: qdense_pallas8(x_, w_), xg, wg)
+        gxr, gwr = grads(lambda x_, w_: _qdense_blk(x_, w_), xg, wg)
+        check(f"qgemm8 dx K{kg}", gxp, gxr)
+        check(f"qgemm8 dW K{kg}", gwp, gwr)
+
     # scan-resident QLSTM recurrence (qlstm_scan.py): fwd + all param grads
     # vs the XLA rank-8 in-scan path with shared params and ragged lengths.
     # Tolerance is looser than the conv gates: the kernel's in-step compute

@@ -66,6 +66,8 @@ def main():
         # first dense consumes the stacked conv output (no exit transpose),
         # rank-8 at K = F*C; remaining dense layers stay on the block GEMM
         "dense_fast8_st": {"model.dense_variant": "fast8_stacked"},
+        # rank-8 Pallas GEMM with in-VMEM combo formation (qgemm8.py)
+        "dense_pallas8": {"model.dense_variant": "pallas8"},
         "pallas": {"model.use_pallas": True},
         "real_cnn": {"model.arch": "real_cnn"},
         # config-4 (qlstm preset) arms: equal-real-width LSTM ablation and

@@ -266,7 +266,9 @@ class QDense(nn.Module):
     criterion: str = "glorot"
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
-    variant: str = "auto"  # auto | block | fast | fast8 | pallas
+    # auto | block | fast | fast8 | pallas (legacy 10-prod) | pallas8
+    # (rank-8 in-VMEM-combo GEMM, qgemm8.py)
+    variant: str = "auto"
     layout: str = "packed"  # packed | stacked_entry
 
     @nn.compact
@@ -319,6 +321,13 @@ class QDense(nn.Module):
             impl = "block"
         if self.use_pallas or impl == "pallas":
             y = qpallas.qdense_pallas(x, kernel.astype(dtype))
+        elif impl == "pallas8":
+            # rank-8 Pallas GEMM with in-VMEM combo formation (zero HBM
+            # combo traffic — the round-4 measured blocker for the XLA
+            # rank-8 dense; qasr/ops/pallas/qgemm8.py)
+            from qasr.ops.pallas.qgemm8 import qdense_pallas8
+
+            y = qdense_pallas8(x, kernel.astype(dtype))
         else:
             dense_fn = {"fast": qdense_fast, "fast8": qdense_fast8}.get(
                 impl, qdense

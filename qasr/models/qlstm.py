@@ -49,6 +49,16 @@ def qchannel_concat(parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate(stacked, axis=-1).reshape(*lead, -1)
 
 
+def _input_proj_fn(name: str):
+    """Pre-scan gate-projection op: block | fast8 | pallas8 (rank-8 Pallas
+    GEMM with in-VMEM combo formation, qasr/ops/pallas/qgemm8.py)."""
+    if name == "pallas8":
+        from qasr.ops.pallas.qgemm8 import qdense_pallas8
+
+        return qdense_pallas8
+    return qdense_fast8 if name == "fast8" else qdense
+
+
 class QLSTMCellParams(nn.Module):
     """Parameter container: one quaternion projection for all 4 gates."""
 
@@ -107,7 +117,7 @@ class QLSTMLayer(nn.Module):
         # all-timestep input projection: one MXU GEMM (outside the scan);
         # the recurrent weights expand ONCE here — never inside the scan
         # (XLA does not reliably hoist the expansion out of the loop body).
-        in_proj = qdense_fast8 if self.input_proj == "fast8" else qdense
+        in_proj = _input_proj_fn(self.input_proj)
         xz = in_proj(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
         if self.recurrent == "fast8":
             wc8 = jnp.einsum(
@@ -188,7 +198,7 @@ class QBiLSTM(nn.Module):
 
         # both directions' input projections as ONE quaternion GEMM
         wx_cat = jnp.concatenate([wxf, wxb], axis=-1).astype(dtype)  # [4,cin,8H]
-        in_proj = qdense_fast8 if self.input_proj == "fast8" else qdense
+        in_proj = _input_proj_fn(self.input_proj)
         z = in_proj(x.reshape(b * t, cin4), wx_cat)
         zf, zb = qchannel_split(z, 2)  # each [B*T, 16H]
         zf = (zf + bf.astype(dtype)).reshape(b, t, -1)

@@ -1,4 +1,12 @@
-"""Fused Pallas quaternion GEMM — the MXU kernel behind qdense/qconv.
+"""Fused Pallas quaternion GEMM — 10-product scheme (PROOF ARTIFACT).
+
+STATUS (round 5): this round-1 kernel predates the rank-8 scheme and is a
+proof artifact, superseded by `qasr/ops/pallas/qgemm8.py` (rank-8,
+in-VMEM combo formation, shape-picked tiling) as the Pallas dense tier.
+Neither is production routing — `dense_variant="auto"` stays on the XLA
+block GEMM by measurement (docs/performance.md, dense-stack analysis).
+Reachable only via the legacy `dense_variant="pallas"` / `use_pallas`
+knobs; kept for the 10-product A/B and the im2col conv wrapper.
 
 Native-delegation obligation R2 (SURVEY.md §2b): the reference's quaternion
 dense/conv bottoms out in one real GEMM on a 4x-expanded block kernel

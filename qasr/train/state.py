@@ -89,6 +89,7 @@ def build_model(cfg: Config) -> nn.Module:
         input_proj = "block" if m.op_variant == "block" else "fast8"
         if m.op_variant == "pallas8":
             recurrent = "pallas8"
+            input_proj = "pallas8"
         else:
             recurrent = (
                 "block" if m.op_variant in ("block", "fast8") else "fast8"

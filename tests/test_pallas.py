@@ -210,3 +210,73 @@ class TestEvenKernelVjpGate:
         )(x_st, w)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gxr), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gwr), rtol=1e-3, atol=1e-3)
+
+
+class TestQGemm8:
+    """Rank-8 GEMM with in-VMEM combo formation (qasr/ops/pallas/qgemm8.py):
+    parity vs the block qdense across tile-branch shapes (small-K / large-K
+    pick different tilings and different dW formulations), padding paths,
+    and both grads."""
+
+    @pytest.mark.parametrize(
+        "m,k,n",
+        [
+            (12, 128, 128),    # single tile, small-K branch
+            (300, 1664, 256),  # large-K branch, M/K/N all padded
+            (7, 256, 62),      # unaligned N (output head width)
+            (64, 640, 384),    # K pad rounds past a tile boundary
+        ],
+    )
+    def test_forward_parity(self, m, k, n, interpret_mode):
+        from qasr.ops.pallas.qgemm8 import qdense_pallas8
+        from qasr.ops.qlinalg import qdense
+
+        rng = np.random.RandomState(m + k + n)
+        x = jnp.asarray(rng.randn(m, 4 * k).astype(np.float32) * 0.3)
+        w = jnp.asarray(rng.randn(4, k, n).astype(np.float32) * 0.05)
+        y = qdense_pallas8(x, w)
+        y_ref = qdense(x, w)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-5
+        )
+
+    @pytest.mark.parametrize("k,n", [(128, 128), (1664, 640)])
+    def test_grads_parity(self, k, n, interpret_mode):
+        # second case crosses both the large-K tile branch and the rank-8
+        # dW formulation branch (k*n >= 1M)
+        from qasr.ops.pallas.qgemm8 import qdense_pallas8
+        from qasr.ops.qlinalg import qdense
+
+        rng = np.random.RandomState(k)
+        x = jnp.asarray(rng.randn(5, 4 * k).astype(np.float32) * 0.3)
+        w = jnp.asarray(rng.randn(4, k, n).astype(np.float32) * 0.05)
+
+        def loss(fn):
+            return lambda x_, w_: jnp.sum(fn(x_, w_) ** 2)
+
+        gx, gw = jax.grad(loss(qdense_pallas8), argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss(qdense), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=3e-5, atol=3e-5)
+
+    def test_batched_lead_dims(self, interpret_mode):
+        from qasr.ops.pallas.qgemm8 import qdense_pallas8
+        from qasr.ops.qlinalg import qdense
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 9, 4 * 128).astype(np.float32) * 0.3)
+        w = jnp.asarray(rng.randn(4, 128, 128).astype(np.float32) * 0.05)
+        y = qdense_pallas8(x, w)
+        assert y.shape == (2, 9, 4 * 128)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(qdense(x, w)), rtol=2e-5, atol=2e-5
+        )
+
+    def test_supported(self):
+        from qasr.ops.pallas.qgemm8 import supported
+
+        assert supported(128, 256)
+        assert not supported(96, 128)
+        assert not supported(128, 62)
+        assert supported(128, 128, None)
+        assert not supported(128, 128, jnp.float32)
