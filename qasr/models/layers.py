@@ -20,6 +20,7 @@ from qasr.ops.initializers import quaternion_initializer
 from qasr.ops.qlinalg import (
     qconv,
     qconv_fast,
+    qconv_fast8,
     qconv_fast10,
     qdense,
     qdense_fast,
@@ -138,9 +139,12 @@ class QConv(nn.Module):
                 x, kernel.astype(dtype), strides=self.strides, padding=self.padding
             )
         else:
-            conv_fn = {"block": qconv, "fast": qconv_fast, "fast10": qconv_fast10}[
-                impl
-            ]
+            conv_fn = {
+                "block": qconv,
+                "fast": qconv_fast,
+                "fast10": qconv_fast10,
+                "fast8": qconv_fast8,
+            }[impl]
             y = conv_fn(
                 x,
                 kernel.astype(dtype),

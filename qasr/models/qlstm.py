@@ -298,8 +298,12 @@ class QLSTMEncoder(nn.Module):
     dropout_rate: float = 0.3
     dtype: jnp.dtype | None = None
     use_pallas: bool = False
-    input_proj: str = "fast8"   # pre-scan gate projection: fast8 | block
-    recurrent: str = "block"    # in-scan hidden projection: block | fast8
+    input_proj: str = "fast8"   # pre-scan gate projection: fast8 | block | pallas8
+    recurrent: str = "block"    # in-scan hidden projection: block | fast8 | pallas8
+    # conv front-end routing (round 5: shared tower with QCNNEncoder, so
+    # fat layers — e.g. config 4's 128->128 — take the measured-best
+    # stacked rank-8 path instead of per-layer packed routing)
+    conv_variant: str = "auto"
 
     @nn.compact
     def __call__(
@@ -309,22 +313,30 @@ class QLSTMEncoder(nn.Module):
         train: bool = False,
         lengths: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        from qasr.models.qcnn import quaternion_conv_tower
+
         if x.ndim != 4:
             raise ValueError(f"expected [B, T, F, 4*C] input, got {x.shape}")
-        for i, feats in enumerate(self.conv_features):
-            x = QConv(
-                features=feats,
-                kernel_size=self.kernel_size,
-                dtype=self.dtype,
-                use_pallas=self.use_pallas,
-                name=f"qconv_{i}",
-            )(x)
-            x = PReLU(name=f"conv_prelu_{i}")(x)
-            if i + 1 == self.pool_after:
-                x = nn.max_pool(
-                    x, window_shape=(1, self.pool_size), strides=(1, self.pool_size)
-                )
-        x = flatten_quaternion(x)  # [B, T, 4*(F*C)]
+        x, in_stacked = quaternion_conv_tower(
+            x,
+            conv_features=self.conv_features,
+            kernel_size=self.kernel_size,
+            pool_after=self.pool_after,
+            pool_size=self.pool_size,
+            dropout_rate=self.dropout_rate,
+            conv_dropout=False,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            variant=self.conv_variant,
+            train=train,
+        )
+        if in_stacked:
+            # fused exit: stacked [B,4,F,T,C] -> flattened packed
+            # [B,T,4*(F*C)] in ONE transpose
+            b_, _, f_, t_, c_ = x.shape
+            x = x.transpose(0, 3, 1, 2, 4).reshape(b_, t_, 4 * f_ * c_)
+        else:
+            x = flatten_quaternion(x)  # [B, T, 4*(F*C)]
 
         for i in range(self.lstm_layers):
             if self.bidirectional:

@@ -293,6 +293,75 @@ def qconv_fast10(
     return jnp.concatenate(outs, axis=-1).astype(x.dtype)
 
 
+def qconv_fast8(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    strides: Sequence[int] | None = None,
+    padding: str | Sequence[tuple[int, int]] = "SAME",
+    precision=None,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Quaternion conv via the exact rank-8 scheme as EIGHT plain convs,
+    PACKED layout (round-5: the rank-8 option for fat layers outside a
+    stacked chain — e.g. the QLSTM front-end's lone 128->128 layer).
+
+    Same structure as `qconv_fast10` with the U8/V8/O8 tables: each of the
+    8 bilinear products is an ordinary full real conv ``[B,*sp,Cin] x
+    [*k,Cin,Cout]`` (shapes the TPU conv emitter handles at peak), input
+    combos are 2-sparse VPU FMAs, and the output recombination is a dense
+    [4, 8] contraction on f32. 8/16 of the reference's expanded-conv MXU
+    FLOPs; same >= 128-channel MXU-lane gate as the other reduced-product
+    paths. Verified against the 16-product oracle in
+    tests/test_quaternion_ops.py.
+    """
+    nspatial = w.ndim - 3
+    if w.shape[0] != 4 or nspatial not in (1, 2):
+        raise ValueError(f"conv weights must be [4, *k, Cin, Cout], got {w.shape}")
+    if strides is None:
+        strides = (1,) * nspatial
+    cin, cout = w.shape[-2], w.shape[-1]
+
+    xs = x.reshape(*x.shape[:-1], 4, cin)
+    wc = jnp.einsum(
+        "a...kn,pa->p...kn", w, jnp.asarray(U8, w.dtype)
+    ).astype(x.dtype)  # [8, *k, Cin, Cout]
+
+    sample_shape = (*x.shape[:-1], cin)
+    if nspatial == 1:
+        dn = lax.conv_dimension_numbers(
+            sample_shape, wc.shape[1:], ("NWC", "WIO", "NWC")
+        )
+    else:
+        dn = lax.conv_dimension_numbers(
+            sample_shape, wc.shape[1:], ("NHWC", "HWIO", "NHWC")
+        )
+
+    prods = []
+    for p in range(8):
+        terms = np.nonzero(V8[p])[0]
+        a1, a2 = int(terms[0]), int(terms[1])
+        xc = (
+            xs[..., a1, :] * x.dtype.type(V8[p, a1])
+            + xs[..., a2, :] * x.dtype.type(V8[p, a2])
+        )
+        prods.append(
+            lax.conv_general_dilated(
+                xc,
+                wc[p],
+                window_strides=tuple(strides),
+                padding=padding,
+                dimension_numbers=dn,
+                precision=precision,
+            )
+        )
+    stacked = jnp.stack(prods, axis=-2)  # [B, *sp, 8, Cout]
+    ys = jnp.einsum(
+        "...pn,bp->...bn", stacked, jnp.asarray(O8, accum_dtype)
+    )
+    return ys.reshape(*stacked.shape[:-2], 4 * cout).astype(x.dtype)
+
+
 def qconv_expanded_oracle(x, w, *, strides=None, padding="SAME"):
     """Test oracle: explicitly materialized 4x-expanded real conv (the
     reference's exact computation, SURVEY.md §3.2). f32 only; tests use this

@@ -362,3 +362,39 @@ class TestPallasScan:
         assert supported(256, jnp.bfloat16)
         assert not supported(256, jnp.float32)
         assert supported(256, None)  # interpret-mode tests
+
+
+class TestSharedConvTower:
+    """Round 5: QLSTMEncoder routes its conv front-end through the shared
+    quaternion_conv_tower, so fat layers (>=128 q-channels) take the
+    stacked rank-8 path. Params must stay byte-identical across routings
+    (checkpoint compatibility) and outputs must match."""
+
+    def _enc(self, conv_variant):
+        from qasr.models.qlstm import QLSTMEncoder
+
+        return QLSTMEncoder(
+            conv_features=(8, 128, 128),
+            dense_features=(8,),
+            lstm_features=8,
+            lstm_layers=1,
+            vocab=10,
+            dropout_rate=0.0,
+            conv_variant=conv_variant,
+        )
+
+    def test_routing_parity_and_checkpoint_compat(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 9, 4)) * 0.5
+        enc_packed = self._enc("block")     # whole tower per-layer packed
+        enc_auto = self._enc("auto")        # fat 128->128 layer -> stacked8
+        p = enc_packed.init(jax.random.PRNGKey(1), x, train=False)
+        p2 = enc_auto.init(jax.random.PRNGKey(1), x, train=False)
+        # identical param trees (names AND shapes) across routings
+        s1 = jax.tree.map(lambda a: a.shape, p)
+        s2 = jax.tree.map(lambda a: a.shape, p2)
+        assert s1 == s2
+        y1 = enc_packed.apply(p, x, train=False)
+        y2 = enc_auto.apply(p, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(y2), np.asarray(y1), rtol=2e-3, atol=2e-3
+        )

@@ -206,6 +206,45 @@ class TestFastVariants:
                 atol=1e-4,
             )
 
+    @pytest.mark.parametrize(
+        "spatial,kernel,strides",
+        [
+            ((7, 6), (3, 3), (1, 1)),
+            ((7, 6), (3, 3), (2, 1)),
+            ((11,), (3,), (1,)),
+        ],
+    )
+    def test_qconv_fast8_matches(self, spatial, kernel, strides):
+        # round 5: packed-path rank-8 conv (8 plain convs; the option for
+        # fat layers outside a stacked chain)
+        from qasr.ops.qlinalg import qconv_fast8
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(29))
+        x = _rand(kx, (2, *spatial, 4 * 5))
+        w = _rand(kw, (4, *kernel, 5, 6))
+        for padding in ("SAME", "VALID"):
+            np.testing.assert_allclose(
+                qconv_fast8(x, w, strides=strides, padding=padding),
+                qconv(x, w, strides=strides, padding=padding),
+                rtol=2e-4,
+                atol=2e-4,
+            )
+
+    def test_qconv_fast8_grads_match(self):
+        from qasr.ops.qlinalg import qconv_fast8
+
+        kx, kw = jax.random.split(jax.random.PRNGKey(30))
+        x = _rand(kx, (2, 8, 5, 4 * 3))
+        w = _rand(kw, (4, 3, 3, 3, 4))
+
+        def loss(fn):
+            return lambda x, w: jnp.sum(jnp.tanh(fn(x, w)))
+
+        gx1, gw1 = jax.grad(loss(qconv_fast8), argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss(qconv), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(gx1, gx2, rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(gw1, gw2, rtol=1e-3, atol=2e-4)
+
     def test_qconv_fast10_grads_match(self):
         from qasr.ops.qlinalg import qconv_fast10
 
