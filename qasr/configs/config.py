@@ -293,6 +293,11 @@ PRESETS: dict[str, Config] = {
             # file: featurize on demand (streaming mode)
             cache_features=False,
         ),
+        # remat_convs stays False: the per-chip envelope at T=2048 is B=8
+        # without remat (8.8 GB of 16) and the DPxTP preset mesh lands at
+        # ~B8-equivalent per chip; see tools/memory_envelope.py and
+        # docs/performance.md ("config-5 memory envelope"). Flip remat on
+        # for single-chip runs above B8 at T=2048 (14.4 GB at B16).
         train=TrainConfig(num_steps=500000, warmup_steps=5000),
         mesh=MeshConfig(data_axis=-1, model_axis=4),
     ),
