@@ -18,11 +18,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_workload(num_steps: int = 4, ckpt_dir: str | None = None):
+def run_workload(
+    num_steps: int = 4,
+    ckpt_dir: str | None = None,
+    num_examples: int = 16,
+):
     """Train + beam-eval the tiny synthetic config on a (data=4, model=2)
     mesh built from all global devices. Works single- or multi-process:
     every process sees the same host-replicated global batches (same dataset
-    walk), and the step adapters slice per-host rows internally."""
+    walk), and the step adapters slice per-host rows internally.
+
+    ``num_examples`` not divisible by the batch size (e.g. 13 vs batch 8)
+    makes the eval epoch end in a REMAINDER batch whose pad rows land on
+    the LAST data-axis host — the 4-process variant uses this to drive the
+    uneven-last-host-batch case through the sharded beam path (round-5
+    verdict task)."""
     import jax
 
     from qasr.configs import get_config
@@ -38,7 +48,10 @@ def run_workload(num_steps: int = 4, ckpt_dir: str | None = None):
 
     cfg = get_config("tiny_synthetic")
     ds = SyntheticDataset(
-        vocab=cfg.model.vocab, n_mels=cfg.data.n_mels, num_examples=16, seed=0
+        vocab=cfg.model.vocab,
+        n_mels=cfg.data.n_mels,
+        num_examples=num_examples,
+        seed=0,
     )
     batches = []
     while len(batches) < num_steps:
@@ -153,8 +166,9 @@ def main():
 
     import jax
 
+    n_local = 8 // nproc  # 8 global devices regardless of world size
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_num_cpu_devices", n_local)
     jax.config.update("jax_threefry_partitionable", True)
 
     from qasr.parallel import initialize_multihost
@@ -163,12 +177,14 @@ def main():
         f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == n_local
+    assert jax.device_count() == 8
 
-    # shared checkpoint dir: both processes write/read the same tree
+    num_examples = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    # shared checkpoint dir: all processes write/read the same tree
     result = run_workload(
-        ckpt_dir=os.path.join(os.path.dirname(os.path.abspath(out_path)), "ckpt")
+        ckpt_dir=os.path.join(os.path.dirname(os.path.abspath(out_path)), "ckpt"),
+        num_examples=num_examples,
     )
     with open(out_path, "w") as f:
         json.dump(result, f)

@@ -31,15 +31,13 @@ def _free_port() -> int:
     return port
 
 
-@pytest.fixture(scope="module")
-def multihost_results(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("mh")
+def _spawn_world(tmp, nproc: int, num_examples: int):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         out = tmp / f"r{pid}.json"
         procs.append(
             (
@@ -48,9 +46,10 @@ def multihost_results(tmp_path_factory):
                         sys.executable,
                         str(WORKER),
                         str(pid),
-                        "2",
+                        str(nproc),
                         str(port),
                         str(out),
+                        str(num_examples),
                     ],
                     cwd=REPO,
                     env=env,
@@ -76,6 +75,19 @@ def multihost_results(tmp_path_factory):
             )
         results.append(json.loads(out.read_text()))
     return results
+
+
+@pytest.fixture(scope="module")
+def multihost_results(tmp_path_factory):
+    return _spawn_world(tmp_path_factory.mktemp("mh"), 2, 16)
+
+
+@pytest.fixture(scope="module")
+def multihost4_results(tmp_path_factory):
+    # 4 processes x 2 fake devices; 13 examples so the eval epoch ends in a
+    # remainder batch whose pad rows land on the LAST data-axis host — the
+    # uneven-last-host-batch case through the sharded beam path
+    return _spawn_world(tmp_path_factory.mktemp("mh4"), 4, 13)
 
 
 class TestTwoProcessParity:
@@ -118,6 +130,51 @@ class TestTwoProcessParity:
             r0["eval_loss"], single["eval_loss"], rtol=2e-3, atol=1e-3
         )
         assert r0["per"] == pytest.approx(single["per"], abs=0.02)
+        np.testing.assert_allclose(
+            r0["tp_cross_loss"], single["tp_cross_loss"], rtol=2e-4, atol=1e-4
+        )
+
+
+class TestFourProcessParity:
+    """4-process world (2 fake devices each): DP x TP with the model axis
+    crossing process boundaries, plus an uneven remainder eval batch whose
+    pad rows all live on the last host (round-5 verdict task)."""
+
+    def test_all_processes_agree(self, multihost4_results):
+        rs = multihost4_results
+        assert all(r["process_count"] == 4 for r in rs)
+        for r in rs[1:]:
+            np.testing.assert_array_equal(rs[0]["losses"], r["losses"])
+            assert rs[0]["pnorm"] == r["pnorm"]
+            assert rs[0]["per"] == r["per"]
+            assert rs[0]["eval_loss"] == pytest.approx(r["eval_loss"], rel=1e-6)
+            assert rs[0]["tp_cross_loss"] == r["tp_cross_loss"]
+        assert np.isfinite(rs[0]["tp_cross_loss"])
+        assert all(r["adapter_guard"] for r in rs)
+        assert all(r["ckpt_restore_diff"] == 0.0 for r in rs)
+        assert np.isfinite(rs[0]["resumed_loss"])
+
+    def test_matches_single_process_uneven_tail(
+        self, multihost4_results, tmp_path
+    ):
+        from tests.multihost_worker import run_workload
+
+        single = run_workload(
+            ckpt_dir=str(tmp_path / "ckpt"), num_examples=13
+        )
+        assert single["process_count"] == 1
+        r0 = multihost4_results[0]
+        np.testing.assert_allclose(
+            r0["losses"], single["losses"], rtol=2e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(r0["pnorm"], single["pnorm"], rtol=2e-4)
+        np.testing.assert_allclose(
+            r0["eval_loss"], single["eval_loss"], rtol=2e-3, atol=1e-3
+        )
+        # the beam PER over the 13-utterance set (5 pad rows on the last
+        # host) must match the single-process score exactly: each real
+        # utterance scored once, pads dropped on every host
+        assert r0["per"] == pytest.approx(single["per"], abs=1e-9)
         np.testing.assert_allclose(
             r0["tp_cross_loss"], single["tp_cross_loss"], rtol=2e-4, atol=1e-4
         )
