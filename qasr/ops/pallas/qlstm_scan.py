@@ -199,6 +199,9 @@ def _fwd_call(xz_gm, wc8, mask, *, tc: int, bt: int):
     hs, cs, gates = pl.pallas_call(
         kernel,
         grid=grid,
+        # explicit interpret off-TPU: the custom_partitioning per-shard
+        # lowering runs outside any force_tpu_interpret_mode() context
+        interpret=jax.default_backend() != "tpu",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(
@@ -373,6 +376,7 @@ def _bwd_call(wc8_t, gates, c_prev, dhs, mask, *, tc: int, bt: int):
     return pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=jax.default_backend() != "tpu",
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec((tc, d, bt, c16), rev, memory_space=pltpu.VMEM),
@@ -403,30 +407,307 @@ def _bwd_call(wc8_t, gates, c_prev, dhs, mask, *, tc: int, bt: int):
 
 
 # ---------------------------------------------------------------------------
+# GSPMD partitioning: the scan is embarrassingly parallel across the batch
+# rows (each (d, b) row carries its own independent recurrence), so under a
+# DP-sharded jit the kernel partitions on B with everything else —
+# crucially the sequential T axis and the resident weights — replicated.
+# Without this rule the SPMD partitioner rejects the custom call outright
+# (side-effecting HLO cannot have a replicated sharding). The per-shard
+# lowering re-picks tiles and re-pads for its LOCAL batch, so any shard
+# size works.
+# ---------------------------------------------------------------------------
+
+
+# Tests flip this to force the Pallas kernels (interpret mode) on a
+# non-TPU backend; production routing uses the kernel on TPU and the
+# XLA-scan twin elsewhere (also the branch that validates the
+# custom_partitioning wiring on the fake CPU mesh, where interpret-mode
+# pallas cannot lower inside a partitioned computation — io-callback
+# effects).
+FORCE_KERNEL = False
+
+
+def _use_kernel() -> bool:
+    return FORCE_KERNEL or jax.default_backend() == "tpu"
+
+
+def _fwd_xla(xz_gm, wc8, mask):
+    """XLA lax.scan twin of the fwd kernel: identical math (f32 in-step,
+    storage-dtype carry), layouts, and outputs (hs, cs, gates).
+
+    NOTE: the scheme tables enter as STATIC scalar FMAs (the kernel's own
+    style), never as jnp constant matrices — custom_partitioning requires
+    the traced per-shard function to be const-free."""
+    t, d, b, c16 = xz_gm.shape
+    hid = c16 // 16
+    h4 = 4 * hid
+    dt = xz_gm.dtype
+    wc = wc8.astype(dt)
+
+    def step(carry, inp):
+        h, c = carry
+        xz_t, m_t = inp
+        hf = h.astype(jnp.float32)  # [D, B, 4H]
+        ha = [hf[..., a * hid : (a + 1) * hid] for a in range(4)]
+        hc = jnp.stack(
+            [
+                sum(_scaled(ha[a], coef) for a, coef in _V8_TERMS[p])
+                for p in range(8)
+            ],
+            axis=1,
+        )  # [D, 8, B, H]
+        prods = jnp.einsum(
+            "dpbk,dpkn->dpbn", hc.astype(dt), wc,
+            preferred_element_type=jnp.float32,
+        )  # [D, 8, B, 4H], lanes [g, hid]
+        blocks = []
+        for g in range(4):
+            for q in range(4):
+                acc = None
+                for p in range(8):
+                    term = _scaled(
+                        prods[:, p, :, g * hid : (g + 1) * hid], _O8[q][p]
+                    )
+                    acc = term if acc is None else acc + term
+                blocks.append(acc)
+        proj = jnp.concatenate(blocks, axis=-1)  # [D, B, 16H] gate-major
+        z = xz_t.astype(jnp.float32) + proj
+        sig = jax.nn.sigmoid(z[..., : 3 * h4])
+        g_t = jnp.tanh(z[..., 3 * h4 :])
+        i_t = sig[..., :h4]
+        f_t = sig[..., h4 : 2 * h4]
+        o_t = sig[..., 2 * h4 : 3 * h4]
+        cf = c.astype(jnp.float32)
+        c_cand = f_t * cf + i_t * g_t
+        h_cand = o_t * jnp.tanh(c_cand)
+        m = m_t[..., :1].astype(jnp.float32)
+        h_new = m * h_cand + (1.0 - m) * h.astype(jnp.float32)
+        c_new = m * c_cand + (1.0 - m) * cf
+        gates = jnp.concatenate([sig, g_t], axis=-1)
+        hb, cb = h_new.astype(dt), c_new.astype(dt)
+        return (hb, cb), (hb, cb, gates.astype(dt))
+
+    init = (
+        jnp.zeros((d, b, h4), dt),
+        jnp.zeros((d, b, h4), dt),
+    )
+    (_, _), (hs, cs, gates) = lax.scan(step, init, (xz_gm, mask))
+    return hs, cs, gates
+
+
+def _bwd_xla(wc8_t, gates, c_prev, dhs, mask):
+    """XLA reverse-scan twin of the bwd kernel: emits dz (const-free, see
+    _fwd_xla note)."""
+    t, d, b, c16 = gates.shape
+    hid = c16 // 16
+    h4 = 4 * hid
+    dt = gates.dtype
+    wt = wc8_t.astype(dt)  # [D, 8, 4H, H]
+
+    def step(carry, inp):
+        dh_s, dc_s = carry
+        g_all, cp, dh_up, m_t = inp
+        gf = g_all.astype(jnp.float32)
+        i_t = gf[..., :h4]
+        f_t = gf[..., h4 : 2 * h4]
+        o_t = gf[..., 2 * h4 : 3 * h4]
+        g_t = gf[..., 3 * h4 :]
+        cpf = cp.astype(jnp.float32)
+        c_cand = f_t * cpf + i_t * g_t
+        th = jnp.tanh(c_cand)
+        m = m_t[..., :1].astype(jnp.float32)
+        dh_tot = dh_up.astype(jnp.float32) + dh_s
+        dh_cand = m * dh_tot
+        dc_cand = m * dc_s + dh_cand * o_t * (1.0 - th * th)
+        do = dh_cand * th
+        df = dc_cand * cpf
+        di = dc_cand * g_t
+        dg = dc_cand * i_t
+        dc_prev = (1.0 - m) * dc_s + dc_cand * f_t
+        dz = jnp.concatenate(
+            [
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                do * o_t * (1.0 - o_t),
+                dg * (1.0 - g_t * g_t),
+            ],
+            axis=-1,
+        )  # [D, B, 16H] gate-major
+        # dprods_p = Σ_q O8[q,p]·dz[(g,q) block], lanes [g, hid]
+        qs = [
+            [
+                dz[..., (g * 4 + q) * hid : (g * 4 + q + 1) * hid]
+                for q in range(4)
+            ]
+            for g in range(4)
+        ]
+        dprods = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        sum(_scaled(qs[g][q], _O8[q][p]) for q in range(4))
+                        for g in range(4)
+                    ],
+                    axis=-1,
+                )
+                for p in range(8)
+            ],
+            axis=1,
+        )  # [D, 8, B, 4H]
+        dhc = jnp.einsum(
+            "dpbn,dpnk->dpbk", dprods.astype(dt), wt,
+            preferred_element_type=jnp.float32,
+        )  # [D, 8, B, H]
+        dh_rec = jnp.concatenate(
+            [
+                sum(_scaled(dhc[:, p], coef) for p, coef in _V8_COLS[a])
+                for a in range(4)
+            ],
+            axis=-1,
+        )  # [D, B, 4H]
+        dh_prev = (1.0 - m) * dh_tot + dh_rec
+        return (dh_prev, dc_prev), dz.astype(dt)
+
+    init = (
+        jnp.zeros((d, b, h4), jnp.float32),
+        jnp.zeros((d, b, h4), jnp.float32),
+    )
+    (_, _), dz = lax.scan(
+        step, init, (gates, c_prev, dhs, mask), reverse=True
+    )
+    return dz
+
+
+def _fwd_local(xz_gm, wc8, mask):
+    """Per-shard forward: the scan-resident kernel on TPU, the XLA twin
+    elsewhere. Pads (T, B) to local tile multiples for the kernel; the
+    per-shard lowering under custom_partitioning lands here with LOCAL
+    shapes."""
+    if not _use_kernel():
+        return _fwd_xla(xz_gm, wc8, mask)
+    t, d, b, c16 = xz_gm.shape
+    hid = c16 // 16
+    tc, bt = _pick_tiles(t, d, b, hid)
+    t_pad = _round_up(t, tc)
+    b_pad = _round_up(b, bt)
+    if (t_pad, b_pad) != (t, b):
+        pad = ((0, t_pad - t), (0, 0), (0, b_pad - b), (0, 0))
+        xz_gm = jnp.pad(xz_gm, pad)
+        mask = jnp.pad(mask, pad)  # zero mask = frozen state on pad steps
+    hs, cs, gates = _fwd_call(xz_gm, wc8, mask, tc=tc, bt=bt)
+    return hs[:t, :, :b], cs[:t, :, :b], gates[:t, :, :b]
+
+
+def _bwd_local(wc8_t, gates, c_prev, dhs, mask):
+    if not _use_kernel():
+        return _bwd_xla(wc8_t, gates, c_prev, dhs, mask)
+    t, d, b, c16 = gates.shape
+    hid = c16 // 16
+    tc, bt = _pick_tiles(t, d, b, hid)
+    t_pad = _round_up(t, tc)
+    b_pad = _round_up(b, bt)
+    if (t_pad, b_pad) != (t, b):
+        pad = ((0, t_pad - t), (0, 0), (0, b_pad - b), (0, 0))
+        gates = jnp.pad(gates, pad)
+        mask = jnp.pad(mask, pad)
+        c_prev = jnp.pad(c_prev, pad)
+        dhs = jnp.pad(dhs, pad)
+    dz = _bwd_call(wc8_t, gates, c_prev, dhs, mask, tc=tc, bt=bt)
+    return dz[:t, :, :b]
+
+
+def _make_partitioned(local_fn, rule, stream_args):
+    """``stream_args[i]`` True: operand i is a ``[T, D, B, X]`` stream whose
+    batch dim may shard; False: a weight tensor that must replicate."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    fn = custom_partitioning(local_fn)
+
+    def _b_spec(arg_shapes):
+        # batch-dim spec from the first stream operand's sharding
+        for a, is_stream in zip(arg_shapes, stream_args):
+            if is_stream and a.sharding is not None:
+                spec = a.sharding.spec
+                if len(spec) > 2 and spec[2] is not None:
+                    return spec[2]
+        return None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_axis = _b_spec(arg_shapes)
+        row = PartitionSpec(None, None, b_axis, None)
+        rep = PartitionSpec()
+        arg_sh = tuple(
+            NamedSharding(mesh, row if is_stream else rep)
+            for a, is_stream in zip(arg_shapes, stream_args)
+        )
+        res = (result_shape,) if not isinstance(result_shape, (tuple, list)) else result_shape
+        result_sh = tuple(NamedSharding(mesh, row) for _ in res)
+        if len(result_sh) == 1:
+            result_sh = result_sh[0]
+        return mesh, local_fn, result_sh, arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_axis = _b_spec(arg_shapes)
+        row = PartitionSpec(None, None, b_axis, None)
+        res = (result_shape,) if not isinstance(result_shape, (tuple, list)) else result_shape
+        out = tuple(NamedSharding(mesh, row) for _ in res)
+        return out if len(out) > 1 else out[0]
+
+    # Shardy rule: only the batch factor `b` is free to shard; the
+    # sequential time factor, lanes, and the resident weights must
+    # replicate (need_replication_factors)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule[0],
+        need_replication_factors=rule[1],
+    )
+    return fn
+
+
+_fwd_part = _make_partitioned(
+    _fwd_local,
+    (
+        "t d b c, e p k n, t d b m -> t d b h, t d b h, t d b c",
+        ("t", "d", "c", "e", "p", "k", "n", "m", "h"),
+    ),
+    (True, False, True),
+)
+_bwd_part = _make_partitioned(
+    _bwd_local,
+    (
+        "e p n k, t d b c, t d b h, t d b h, t d b m -> t d b c",
+        # need_replication factors MUST be listed in first-appearance order
+        ("e", "p", "n", "k", "t", "d", "c", "h", "m"),
+    ),
+    (False, True, True, True, True),
+)
+
+
+# ---------------------------------------------------------------------------
 # custom-VJP core + public wrapper
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _scan_core(xz_gm, wc8, mask, tc, bt):
-    hs, _, _ = _fwd_call(xz_gm, wc8, mask, tc=tc, bt=bt)
+@jax.custom_vjp
+def _scan_core(xz_gm, wc8, mask):
+    hs, _, _ = _fwd_part(xz_gm, wc8, mask)
     return hs
 
 
-def _scan_core_fwd(xz_gm, wc8, mask, tc, bt):
-    hs, cs, gates = _fwd_call(xz_gm, wc8, mask, tc=tc, bt=bt)
+def _scan_core_fwd(xz_gm, wc8, mask):
+    hs, cs, gates = _fwd_part(xz_gm, wc8, mask)
     return hs, (wc8, mask, hs, cs, gates)
 
 
-def _scan_core_bwd(tc, bt, res, dhs):
+def _scan_core_bwd(res, dhs):
     wc8, mask, hs, cs, gates = res
     t, d, b, h4 = hs.shape
     hid = h4 // 4
     wc8_t = jnp.swapaxes(wc8, 2, 3)  # [D, 8, 4H, H] — once per train step
     c_prev = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
-    dz = _bwd_call(
-        wc8_t, gates, c_prev, dhs.astype(gates.dtype), mask, tc=tc, bt=bt
-    )
+    dz = _bwd_part(wc8_t, gates, c_prev, dhs.astype(gates.dtype), mask)
     # dW: two large XLA einsums over the full (T, B) extent (contraction
     # rows T*B — MXU-shaped), NOT sequential work. dz is already masked.
     h_prev = jnp.concatenate([jnp.zeros_like(hs[:1]), hs[:-1]], axis=0)
@@ -464,8 +745,6 @@ def qlstm_scan_fast8(
     xz: jnp.ndarray,
     wc8: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
-    *,
-    time_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Scan-resident rank-8 QLSTM recurrence.
 
@@ -490,9 +769,6 @@ def qlstm_scan_fast8(
         raise ValueError(f"wc8 shape {wc8.shape} != {(d, 8, hid, 4 * hid)}")
     if hid % 128:
         raise ValueError(f"hidden size {hid} must be lane-aligned (128)")
-    tc, bt = _pick_tiles(t, d, b, hid)
-    if time_chunk is not None:
-        tc = time_chunk
 
     # component-major -> gate-major lanes (fuses into the producing GEMM)
     xz_gm = (
@@ -501,8 +777,6 @@ def qlstm_scan_fast8(
         .reshape(t, d, b, c16)
     )
 
-    t_pad = _round_up(t, tc)
-    b_pad = _round_up(b, bt)
     if lengths is None:
         act0 = jnp.ones((t, b), jnp.float32)
         act1 = act0
@@ -513,12 +787,6 @@ def qlstm_scan_fast8(
     mask = jnp.stack([act0, act1][:d], axis=1)  # [T, D, B]
     mask = jnp.broadcast_to(mask[..., None], (t, d, b, 128)).astype(xz.dtype)
 
-    if t_pad != t or b_pad != b:
-        xz_gm = jnp.pad(
-            xz_gm, ((0, t_pad - t), (0, 0), (0, b_pad - b), (0, 0))
-        )
-        mask = jnp.pad(
-            mask, ((0, t_pad - t), (0, 0), (0, b_pad - b), (0, 0))
-        )
-    hs = _scan_core(xz_gm, wc8, mask, tc, bt)
-    return hs[:t, :, :b]
+    # (T, B) padding to tile multiples happens inside _fwd_local/_bwd_local
+    # so the per-shard lowering under a DP mesh re-pads its LOCAL batch
+    return _scan_core(xz_gm, wc8, mask)

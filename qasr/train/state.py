@@ -96,19 +96,19 @@ def build_model(cfg: Config) -> nn.Module:
             )
         if m.op_variant == "auto" and recurrent == "fast8":
             # measured best on the v5e (docs/performance.md): the
-            # scan-resident Pallas recurrence (39.7 vs 61.2 ms/step at
-            # config-4 shapes). Routed only where its contract holds: bf16,
-            # lane-aligned hidden, bidirectional, real-TPU backend, and a
-            # single chip — under a multi-chip GSPMD mesh the pallas call
-            # has no partitioning rule yet (force with op_variant="pallas8"
-            # or shard_map it; qasr/ops/pallas/qlstm_scan.py docstring).
+            # scan-resident Pallas recurrence (38.9 vs 61.2 ms/step at
+            # config-4 shapes). Routed where its contract holds: bf16,
+            # lane-aligned hidden, bidirectional, TPU backend. Under a
+            # DP-sharded mesh the op partitions on batch via its
+            # custom_partitioning rule (weights/time replicated) — wiring
+            # validated on the 8-device CPU mesh
+            # (tests/test_qlstm.py::TestPallasScanSharded).
             import jax
 
             from qasr.ops.pallas import qlstm_scan
 
             if (
                 jax.default_backend() == "tpu"
-                and jax.device_count() == 1
                 and m.bidirectional
                 and qlstm_scan.supported(m.lstm_features, dtype)
             ):

@@ -270,6 +270,14 @@ class TestPallasScan:
     (fwd + every param grad), across the wrapper's padding paths (odd T,
     B not a multiple of the row tile) and with per-utterance lengths."""
 
+    @pytest.fixture(autouse=True)
+    def _force_kernel(self, monkeypatch):
+        # off-TPU the op routes to its XLA twin; these tests exercise the
+        # KERNEL (interpret mode), so force that branch
+        from qasr.ops.pallas import qlstm_scan
+
+        monkeypatch.setattr(qlstm_scan, "FORCE_KERNEL", True)
+
     def _pair(self, hidden=128):
         from qasr.models.qlstm import QBiLSTM
 
@@ -398,3 +406,57 @@ class TestSharedConvTower:
         np.testing.assert_allclose(
             np.asarray(y2), np.asarray(y1), rtol=2e-3, atol=2e-3
         )
+
+
+class TestPallasScanSharded:
+    """custom_partitioning wiring: the scan op under a DP-sharded jit on
+    the 8-device mesh must partition on batch (weights/time replicated) and
+    match the unsharded XLA rank-8 path — fwd and every grad. (Off-TPU this
+    exercises the op's XLA twin per-shard; the kernel itself is covered by
+    TestPallasScan and bench.py's real-TPU Mosaic gate.)"""
+
+    def test_dp_sharded_parity(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        b, t, h = 8, 12, 128
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, 4 * 2 * h)) * 0.3
+        lengths = jnp.asarray([12, 9, 7, 12, 3, 12, 5, 11], jnp.int32)
+        pal = QBiLSTM(h, recurrent="pallas8")
+        ref = QBiLSTM(h, recurrent="fast8")
+        p = ref.init(jax.random.PRNGKey(1), x, lengths)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        ls = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+        ps = jax.device_put(p, NamedSharding(mesh, P()))
+
+        y = jax.jit(
+            lambda pp, xx, ll: pal.apply(pp, xx, ll),
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("data")),
+                NamedSharding(mesh, P("data")),
+            ),
+        )(ps, xs, ls)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref.apply(p, x, lengths)),
+            rtol=2e-5, atol=2e-5,
+        )
+
+        def loss(m, xx, ll):
+            return lambda pp: jnp.sum(
+                m.apply(pp, xx, ll).astype(jnp.float32) ** 2
+            )
+
+        g = jax.jit(
+            jax.grad(loss(pal, xs, ls)),
+            in_shardings=(NamedSharding(mesh, P()),),
+        )(ps)
+        g_ref = jax.grad(loss(ref, x, lengths))(p)
+        for (kp, a), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-4,
+                err_msg=f"sharded grad mismatch at {jax.tree_util.keystr(kp)}",
+            )
