@@ -49,9 +49,18 @@ def qchannel_concat(parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate(stacked, axis=-1).reshape(*lead, -1)
 
 
-def _input_proj_fn(name: str):
-    """Pre-scan gate-projection op: block | fast8 | pallas8 (rank-8 Pallas
-    GEMM with in-VMEM combo formation, qasr/ops/pallas/qgemm8.py)."""
+def _input_proj_fn(name: str, rows: int = 0):
+    """Pre-scan gate-projection op: auto | block | fast8 | pallas8 (rank-8
+    Pallas GEMM with in-VMEM combo formation, qasr/ops/pallas/qgemm8.py).
+
+    "auto" picks by the GEMM's row count M = B*T (measured on the v5e,
+    docs/performance.md round 5): the rank-8 schemes pay combo traffic
+    proportional to M*K while the block path pays a fixed 2x weight read +
+    2x MXU FLOPs — at M = 4096 all three arms measure within noise
+    (6.2-6.4 ms/layer) but by M = 16384 (the config-4 preset batch) block
+    wins 1.23x (31.2 vs 38.4 ms/layer). Crossover set at M >= 8192."""
+    if name == "auto":
+        name = "block" if rows >= 8192 else "fast8"
     if name == "pallas8":
         from qasr.ops.pallas.qgemm8 import qdense_pallas8
 
@@ -117,7 +126,7 @@ class QLSTMLayer(nn.Module):
         # all-timestep input projection: one MXU GEMM (outside the scan);
         # the recurrent weights expand ONCE here — never inside the scan
         # (XLA does not reliably hoist the expansion out of the loop body).
-        in_proj = _input_proj_fn(self.input_proj)
+        in_proj = _input_proj_fn(self.input_proj, b * t)
         xz = in_proj(x.reshape(b * t, cin4), wx).reshape(b, t, -1) + bias
         if self.recurrent == "fast8":
             wc8 = jnp.einsum(
@@ -198,7 +207,7 @@ class QBiLSTM(nn.Module):
 
         # both directions' input projections as ONE quaternion GEMM
         wx_cat = jnp.concatenate([wxf, wxb], axis=-1).astype(dtype)  # [4,cin,8H]
-        in_proj = _input_proj_fn(self.input_proj)
+        in_proj = _input_proj_fn(self.input_proj, b * t)
         z = in_proj(x.reshape(b * t, cin4), wx_cat)
         zf, zb = qchannel_split(z, 2)  # each [B*T, 16H]
         zf = (zf + bf.astype(dtype)).reshape(b, t, -1)

@@ -86,7 +86,15 @@ def build_model(cfg: Config) -> nn.Module:
                 f"op_variant {m.op_variant!r} is not valid for arch='qlstm' "
                 "(choose auto | block | fast8 | fast8_recurrent | pallas8)"
             )
-        input_proj = "block" if m.op_variant == "block" else "fast8"
+        if m.op_variant == "block":
+            input_proj = "block"
+        elif m.op_variant == "fast8":
+            input_proj = "fast8"  # explicit rank-8-input A/B arm
+        else:
+            # auto: picked per layer by the GEMM's row count M = B*T
+            # (block wins at M >= 8192 — combo traffic scales with M;
+            # qasr/models/qlstm._input_proj_fn)
+            input_proj = "auto"
         if m.op_variant == "pallas8":
             recurrent = "pallas8"
             input_proj = "pallas8"
