@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from qasr.models.layers import PReLU, QConv, QDense, flatten_quaternion
+from qasr.models.layers import PReLU, QDense, flatten_quaternion
 from qasr.ops.initializers import quaternion_initializer
 from qasr.ops.qlinalg import qdense, qdense_fast8
 from qasr.ops.quaternion import O8, U8, V8, hamilton_expand
