@@ -49,3 +49,39 @@ def test_mini_librispeech_generator_feeds_reader(tmp_path):
         wav, ids = ds.load(0)
         assert len(wav) > 0 and ids.max() < VOCAB_SIZE
         assert " " not in ids_to_text(ids).strip()[:1]  # non-empty transcript
+
+
+def test_timit_protocol_runner_requires_data_or_mini():
+    # the acceptance runner must fail fast without a corpus
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_timit_protocol.py")],
+        cwd=REPO, capture_output=True, timeout=120,
+    )
+    assert p.returncode != 0
+    assert b"--data-dir" in p.stderr + p.stdout
+
+
+def test_memory_envelope_point_on_cpu():
+    # AOT memory accounting works on any backend; tiny preset, tiny point
+    from tools.memory_envelope import measure_point
+
+    from qasr.configs import get_config
+
+    cfg = get_config("tiny_synthetic")
+    r = measure_point(cfg, 2, 64, False)
+    assert r["total_gb"] > 0
+    r2 = measure_point(cfg, 2, 64, True)
+    assert r2["total_gb"] > 0
+
+
+def test_scaling_table_measure_shape():
+    # one-device measurement path produces a finite step time
+    import jax
+
+    from tools.run_scaling_table import measure
+
+    from qasr.configs import get_config
+
+    cfg = get_config("tiny_synthetic")
+    dt = measure(cfg, jax.devices()[:1], 2, 64, 8, 1, 3)
+    assert dt > 0
